@@ -1,0 +1,176 @@
+"""The micro-batch apply path: dedup -> guard -> copy-on-write MERGE.
+
+This is the Spark rebuild of the reference's task chain
+``task_find_new_records -> task_read_records -> task_merge_metadata ->
+update_storage`` (tasks.py:34-119, app.py:24-74) collapsed into one
+DataFrame plan executed per micro-batch inside ``foreachBatch``:
+
+1. **LWW dedup** of the batch per url (operators.lww — skew-safe partial
+   aggregation; explicit salting available).
+2. **Bucket pruning**: only the table buckets containing the batch's urls
+   are read and rewritten (the semantic twin of the reference's
+   changed-record short-circuit, tasks.py:52-64 — prune untouched data
+   before the expensive merge).
+3. **Stale filter**: a winner is applied only if (warc_ts, log_offset) is
+   strictly newer than the stored row (idempotent upsert, app.py:34-39).
+4. **Tombstone guard** against resurrection by stale events
+   (app.py:54-67).
+5. **HTML->text** extraction (vectorized pandas UDF) for applied upserts
+   only — never for losers.
+6. **Atomic commit** of rewritten buckets + tombstone audit appends +
+   per-partition lineage + the commit epoch, in one manifest flip
+   (exactly-once under foreachBatch replays).
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .evolve import align_to_schema, reconcile_schema
+from .functions.html import html_to_text
+from .lake.table import LakeTable, bucket_expr
+from .operators.cdc import tombstone_guard
+from .operators.lww import lww_dedup, lww_dedup_salted
+from .schema import LINEAGE_SCHEMA, OP_DELETE, TOMBSTONE_SCHEMA
+
+
+def pages_schema_for(batch_schema: T.StructType) -> T.StructType:
+    """Target row schema for a change-event schema: drop ``op``, add ``text``
+    right after ``html`` (schema evolution on the stream flows through)."""
+    fields = []
+    for f in batch_schema.fields:
+        if f.name == "op":
+            continue
+        fields.append(f)
+        if f.name == "html":
+            fields.append(T.StructField("text", T.StringType(), True))
+    return T.StructType(fields)
+
+
+def apply_batch(
+    table: LakeTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    epoch_source: str = "cdc",
+    salted: bool = False,
+    n_salts: int = 16,
+    merge_partitions: int | None = None,
+) -> dict:
+    """Apply one micro-batch of change events. Returns stats. Idempotent:
+    re-delivery of an already-committed batch_id is a no-op."""
+    if batch_id <= table.last_epoch(epoch_source):
+        return {"batch_id": batch_id, "skipped": True}
+
+    t0 = time.time()
+    m = table.manifest()
+    key, nb = m["key"], m["n_buckets"]
+    batch_df = batch_df.persist()
+    try:
+        # lineage: per-source-partition offset range + row counts (north_rule)
+        part_stats = (
+            batch_df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.min("log_offset").alias("offset_start"),
+                F.max("log_offset").alias("offset_end"),
+                F.count(F.lit(1)).alias("rows_applied"),
+            )
+            .collect()
+        )
+
+        # 1. in-batch LWW dedup (explicit salting optional per north_rule)
+        dedup = lww_dedup_salted(batch_df, key, n_salts=n_salts) if salted else lww_dedup(batch_df, key)
+        if merge_partitions:
+            dedup = dedup.repartition(merge_partitions, key)
+
+        # 2. bucket pruning: read only touched buckets of the target table
+        touched = [
+            r[0]
+            for r in dedup.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+        ]
+        evolved = reconcile_schema(table.schema(m), pages_schema_for(batch_df.schema))
+        current = align_to_schema(table.read_buckets(touched, m), evolved)
+
+        # 3. stale filter: strictly-newer-than-stored (struct comparison is
+        #    lexicographic on (warc_ts, log_offset) — the LWW order)
+        stored = current.select(
+            F.col(key),
+            F.struct(F.col("warc_ts").alias("ts"), F.col("log_offset").alias("off")).alias("_stored"),
+        )
+        j = dedup.join(stored, key, "left")
+        newer = F.col("_stored").isNull() | (
+            F.struct(F.col("warc_ts").alias("ts"), F.col("log_offset").alias("off")) > F.col("_stored")
+        )
+        appliable = j.filter(newer).drop("_stored")
+
+        # 4. resurrection guard vs prior-batch tombstones
+        tombs = table.read_tombstones(TOMBSTONE_SCHEMA).withColumnRenamed("deleted_ts", "warc_ts")
+        appliable = tombstone_guard(appliable, tombs, key).persist()
+
+        applied_keys = appliable.select(key)
+        upserts = (
+            appliable.filter(F.col("op") != OP_DELETE)
+            .withColumn("text", html_to_text(F.col("html")))
+        )
+        upserts = align_to_schema(upserts, evolved)
+
+        # 5. copy-on-write: survivors of touched buckets + applied upserts
+        new_data = current.join(applied_keys, key, "left_anti").unionByName(upserts)
+
+        # 6. tombstone audit: every delete event in the batch (reference
+        #    app.py:15-21 appends every delete to change_log)
+        tomb_appends = (
+            batch_df.filter(F.col("op") == OP_DELETE)
+            .select(
+                F.col(key).alias("url"),
+                F.col("warc_ts").alias("deleted_ts"),
+                F.lit("deleted").alias("key"),
+                F.col("log_offset"),
+            )
+            .distinct()
+        )
+
+        latency_ms = (time.time() - t0) * 1000.0
+        lineage_rows = [
+            {
+                "batch_id": int(batch_id),
+                "partition_id": int(r["partition_id"]),
+                "offset_start": r["offset_start"],
+                "offset_end": r["offset_end"],
+                "rows_applied": int(r["rows_applied"]),
+                "merge_latency_ms": float(latency_ms),
+                "commit_epoch": int(batch_id),
+            }
+            for r in part_stats
+        ]
+        lineage_df = table.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA) if lineage_rows else None
+
+        version = table.overwrite_buckets(
+            new_data,
+            touched,
+            epoch_source=epoch_source,
+            epoch=batch_id,
+            new_schema=evolved,
+            tombstone_appends=tomb_appends,
+            lineage_appends=lineage_df,
+        )
+        n_events = sum(r["rows_applied"] for r in part_stats)
+        return {
+            "batch_id": batch_id,
+            "skipped": False,
+            "version": version,
+            "events": n_events,
+            "touched_buckets": len(touched),
+            "latency_ms": latency_ms,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+    finally:
+        batch_df.unpersist()
+        try:
+            appliable.unpersist()
+        except Exception:
+            pass

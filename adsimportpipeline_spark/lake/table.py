@@ -1,0 +1,247 @@
+"""A minimal bucketed copy-on-write lake table with atomic manifest commits.
+
+This is the engine's upsert substrate — the Spark-first replacement for the
+reference's Postgres ``records`` table (models.py:38-56, upsert app.py:24-74)
+and, in a real cluster deployment, a drop-in slot for Iceberg ``MERGE INTO``
+(the apply layer in ``apply.py`` only talks to this interface).
+
+Design for 100 TB:
+
+- **Hash-bucketed layout.** Rows live in ``n_buckets`` buckets by
+  ``pmod(xxhash64(url), n_buckets)``.  A micro-batch that touches k buckets
+  rewrites only those k bucket file-groups; untouched buckets are carried
+  forward *by reference* in the new manifest (copy-on-write, like Iceberg's
+  partition-scoped overwrite).  At cluster scale n_buckets is thousands;
+  locally it defaults to 64.
+- **Atomic snapshot commits.** A commit = write data files + write manifest
+  ``v{N}.json`` + atomically flip the ``_CURRENT`` pointer (os.replace).
+  Readers resolve ``_CURRENT`` once and see a consistent snapshot.  Old
+  manifests are retained -> time travel by version.
+- **Exactly-once.** The manifest records ``committed_epochs[source] =
+  last_batch_id``; the streaming apply path checks it before applying a
+  micro-batch, so foreachBatch replays after a crash are no-ops — the
+  idempotent-upsert semantics the reference got from upsert-by-bibcode
+  (app.py:34-39) upgraded to exactly-once.
+- **Schema evolution without rewrites.** Each file group carries a
+  ``schema_id``; reads align every group to the current schema
+  (``evolve.align_to_schema``).  Additive columns and widening promotions
+  never rewrite old files.
+- **Multi-branch atomicity.** One manifest also tracks the ``tombstones``
+  and ``lineage`` append-only branches, so pages + tombstones + lineage
+  move in a single atomic commit (the reference needed same-transaction
+  semantics between ``records`` and ``change_log``; app.py:15-21).
+
+Single-writer assumption (one streaming query), matching a single Spark
+driver committing to Iceberg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..evolve import align_to_schema
+
+_MANIFEST_DIR = "_manifests"
+_CURRENT = "_CURRENT"
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------------ io
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, _MANIFEST_DIR, f"v{version:08d}.json")
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.root, _CURRENT)) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version()
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _atomic_write(self, path: str, content: str) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def _commit_manifest(self, m: dict) -> int:
+        v = m["version"]
+        path = self._manifest_path(v)
+        while os.path.exists(path):  # orphan from a crashed commit
+            v += 1
+            path = self._manifest_path(v)
+        m["version"] = v
+        self._atomic_write(path, json.dumps(m, indent=1))
+        self._atomic_write(os.path.join(self.root, _CURRENT), str(v))
+        return v
+
+    # -------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key: str = "url",
+        n_buckets: int = 64,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        t = cls(spark, root)
+        if os.path.exists(os.path.join(root, _CURRENT)):
+            return t  # already exists; idempotent
+        m = {
+            "version": 1,
+            "key": key,
+            "n_buckets": n_buckets,
+            "schemas": {"0": schema.json()},
+            "current_schema_id": 0,
+            "buckets": {},          # bucket_id -> [{path, schema_id}]
+            "tombstone_files": [],  # [{path, schema_id? fixed schema}]
+            "lineage_files": [],
+            "committed_epochs": {},  # source -> last batch id (long)
+        }
+        t._commit_manifest(m)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        return cls(spark, root)
+
+    # --------------------------------------------------------------- reads
+    def schema(self, m: dict | None = None) -> T.StructType:
+        m = m or self.manifest()
+        return T.StructType.fromJson(
+            json.loads(m["schemas"][str(m["current_schema_id"])])
+        )
+
+    def _read_file_groups(self, m: dict, entries: list[dict]) -> DataFrame | None:
+        """Read heterogeneous-schema file groups aligned to current schema."""
+        if not entries:
+            return None
+        target = self.schema(m)
+        by_sid: dict[int, list[str]] = {}
+        for e in entries:
+            by_sid.setdefault(e["schema_id"], []).append(e["path"])
+        parts = []
+        for sid, paths in by_sid.items():
+            s = T.StructType.fromJson(json.loads(m["schemas"][str(sid)]))
+            parts.append(align_to_schema(self.spark.read.schema(s).parquet(*paths), target))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def read(self, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        entries = [e for es in m["buckets"].values() for e in es]
+        df = self._read_file_groups(m, entries)
+        if df is None:
+            return self.spark.createDataFrame([], self.schema(m))
+        return df
+
+    def read_buckets(self, bucket_ids: list[int], m: dict | None = None) -> DataFrame:
+        m = m or self.manifest()
+        entries = [e for b in bucket_ids for e in m["buckets"].get(str(b), [])]
+        df = self._read_file_groups(m, entries)
+        if df is None:
+            return self.spark.createDataFrame([], self.schema(m))
+        return df
+
+    def read_tombstones(self, tomb_schema: T.StructType) -> DataFrame:
+        m = self.manifest()
+        paths = [e["path"] for e in m["tombstone_files"]]
+        if not paths:
+            return self.spark.createDataFrame([], tomb_schema)
+        return self.spark.read.schema(tomb_schema).parquet(*paths)
+
+    def read_lineage(self, lineage_schema: T.StructType) -> DataFrame:
+        m = self.manifest()
+        paths = [e["path"] for e in m["lineage_files"]]
+        if not paths:
+            return self.spark.createDataFrame([], lineage_schema)
+        return self.spark.read.schema(lineage_schema).parquet(*paths)
+
+    # -------------------------------------------------------------- epochs
+    def last_epoch(self, source: str) -> int:
+        return int(self.manifest()["committed_epochs"].get(source, -1))
+
+    # -------------------------------------------------------------- writes
+    def _write_data_dir(self, df: DataFrame, tag: str) -> str:
+        d = os.path.join(self.root, "data", f"{tag}-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").parquet(d)
+        return d
+
+    @staticmethod
+    def _parquet_files(d: str, subdir: str | None = None) -> list[str]:
+        base = os.path.join(d, subdir) if subdir else d
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            os.path.join(base, f)
+            for f in os.listdir(base)
+            if f.endswith(".parquet")
+        )
+
+    def overwrite_buckets(
+        self,
+        new_data: DataFrame,
+        touched_buckets: list[int],
+        epoch_source: str | None = None,
+        epoch: int | None = None,
+        new_schema: T.StructType | None = None,
+        tombstone_appends: DataFrame | None = None,
+        lineage_appends: DataFrame | None = None,
+    ) -> int:
+        """Copy-on-write commit: replace the file groups of ``touched_buckets``
+        with ``new_data`` (which must contain only rows of those buckets),
+        carry everything else forward, append tombstones/lineage, record the
+        commit epoch — all in one atomic manifest flip."""
+        m = self.manifest()
+        key, nb = m["key"], m["n_buckets"]
+
+        if new_schema is not None and new_schema.json() != m["schemas"][str(m["current_schema_id"])]:
+            sid = max(int(k) for k in m["schemas"]) + 1
+            m["schemas"][str(sid)] = new_schema.json()
+            m["current_schema_id"] = sid
+        sid = m["current_schema_id"]
+
+        # write new bucket data partitioned by bucket dir
+        tagged = new_data.withColumn("_bucket", bucket_expr(key, nb))
+        d = os.path.join(self.root, "data", f"c-{uuid.uuid4().hex[:12]}")
+        tagged.write.mode("overwrite").partitionBy("_bucket").parquet(d)
+
+        for b in touched_buckets:
+            files = self._parquet_files(d, f"_bucket={b}")
+            m["buckets"][str(b)] = [{"path": p, "schema_id": sid} for p in files]
+
+        if tombstone_appends is not None:
+            td = self._write_data_dir(tombstone_appends.coalesce(1), "tomb")
+            m["tombstone_files"] += [{"path": p, "schema_id": sid} for p in self._parquet_files(td)]
+        if lineage_appends is not None:
+            ld = self._write_data_dir(lineage_appends.coalesce(1), "lin")
+            m["lineage_files"] += [{"path": p, "schema_id": sid} for p in self._parquet_files(ld)]
+
+        if epoch_source is not None and epoch is not None:
+            m["committed_epochs"][epoch_source] = int(epoch)
+
+        m["version"] = m["version"] + 1
+        return self._commit_manifest(m)

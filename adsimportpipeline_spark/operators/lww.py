@@ -1,0 +1,85 @@
+"""Last-writer-wins deduplication — the engine's central operator.
+
+Reference semantics: ``equalTrustFallback`` (merger.py:320-339) resolves
+equal-priority blocks by latest modtime, then content length, then arbitrary
+order — a LWW cascade.  ``_getBestOrigin`` folds blocks to a single winner
+(merger.py:286-318).  Collapsed onto the CDC envelope this is: one winner per
+``url`` ordered by ``(warc_ts, log_offset)``.
+
+Three physical strategies, all producing identical results:
+
+- :func:`lww_dedup` — hash-aggregate ``max_by(struct(payload), struct(order))``.
+  **Default.** Partial (map-side) aggregation makes it skew-resilient by
+  construction: a hot url is pre-reduced to one row per input partition
+  before the shuffle, so no single reducer ever sees the hot url's full
+  event list.  This is the plan that survives 100 TB.
+- :func:`lww_dedup_salted` — *explicit* two-phase salting (north_rule
+  requires explicit hot-key splitting): pre-reduce per ``(url, salt)``,
+  then final reduce per ``url``.  Two shuffles, but the first is uniform.
+  Useful when the payload is too wide for efficient partial agg structs.
+- :func:`lww_dedup_window` — ``row_number() over (partitionBy(url)
+  orderBy ... desc) == 1``.  The literal translation of reference W5;
+  kept for cross-checking — a window sorts the whole group, so it is the
+  *worst* plan under skew and not used in the apply path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: LWW ordering: event time first, log offset as the tie-break
+DEFAULT_ORDER = ("warc_ts", "log_offset")
+
+
+def _order_struct(order_cols: tuple[str, ...]):
+    return F.struct(*[F.col(c) for c in order_cols])
+
+
+def lww_dedup(
+    df: DataFrame,
+    key: str = "url",
+    order_cols: tuple[str, ...] = DEFAULT_ORDER,
+) -> DataFrame:
+    """One winner row per key via max_by — associative, partial-agg friendly."""
+    payload = [c for c in df.columns if c != key]
+    winner = F.max_by(F.struct(*payload), _order_struct(order_cols)).alias("w")
+    out = df.groupBy(key).agg(winner)
+    return out.select(key, *[F.col(f"w.{c}").alias(c) for c in payload])
+
+
+def lww_dedup_salted(
+    df: DataFrame,
+    key: str = "url",
+    order_cols: tuple[str, ...] = DEFAULT_ORDER,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Explicit two-phase skew splitting: (key, salt) pre-reduce, key reduce.
+
+    Salt is derived from the *ordering* column so duplicates of one hot key
+    spread uniformly over ``n_salts`` reducers; the second phase then sees at
+    most ``n_salts`` rows per key.  Safe because max is associative.
+    """
+    payload = [c for c in df.columns if c != key]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salts))
+    pre = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.max_by(F.struct(*payload), _order_struct(order_cols)).alias("w"))
+        .select(key, *[F.col(f"w.{c}").alias(c) for c in payload])
+    )
+    return lww_dedup(pre, key=key, order_cols=order_cols)
+
+
+def lww_dedup_window(
+    df: DataFrame,
+    key: str = "url",
+    order_cols: tuple[str, ...] = DEFAULT_ORDER,
+) -> DataFrame:
+    """row_number()==1 formulation (reference W5, merger.py:286-339)."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

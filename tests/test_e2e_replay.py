@@ -1,0 +1,139 @@
+"""End-to-end: synthetic CDC log -> replay -> final state == pure-Python oracle.
+
+The golden-final-state strategy mirrors the reference's fixture tests
+(tests/stubdata/mergerdata.py golden dicts; SURVEY.md §5) upgraded to a
+full-log equivalence assert: row counts, per-url latest text bytes
+(byte-identical), tombstone handling — the north_star correctness gate.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from adsimportpipeline_spark.apply import apply_batch
+from adsimportpipeline_spark.datagen import GenSpec, generate_change_log, replay_oracle, write_change_log
+from adsimportpipeline_spark.lake.table import LakeTable
+from adsimportpipeline_spark.schema import PAGES_SCHEMA, TOMBSTONE_SCHEMA
+from adsimportpipeline_spark.streaming.runner import run_replay
+
+SPEC = GenSpec(n_events=8000, n_urls=400, seed=7)
+
+
+@pytest.fixture(scope="module")
+def events_and_oracle(spark):
+    df = generate_change_log(spark, SPEC)
+    rows = [r.asDict() for r in df.collect()]
+    pages, tombs = replay_oracle(rows)
+    return df, rows, pages, tombs
+
+
+def _assert_state_matches(table, pages, tombs):
+    got = {r["url"]: r.asDict() for r in table.read().collect()}
+    assert len(got) == len(pages), f"row count {len(got)} != oracle {len(pages)}"
+    for url, exp in pages.items():
+        g = got[url]
+        assert g["text"] == exp["text"], f"text mismatch for {url}"
+        assert bytes(g["html"]) == exp["html"]
+        assert g["warc_ts"] == exp["warc_ts"], (url, g["warc_ts"], exp["warc_ts"])
+        assert g["log_offset"] == exp["log_offset"]
+        assert g["lang"] == exp["lang"]
+        assert g["fingerprint"] == exp["fingerprint"]
+    got_tombs = sorted(
+        (r["url"], r["deleted_ts"], r["log_offset"])
+        for r in table.read_tombstones(TOMBSTONE_SCHEMA).collect()
+    )
+    assert got_tombs == tombs
+
+
+def test_single_batch_replay(spark, tmp_path, events_and_oracle):
+    df, _, pages, tombs = events_and_oracle
+    root = str(tmp_path / "tbl")
+    table = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=16)
+    stats = apply_batch(table, df, batch_id=0)
+    assert not stats["skipped"]
+    _assert_state_matches(table, pages, tombs)
+    # idempotency: replaying the same epoch is a no-op
+    v = table.current_version()
+    assert apply_batch(table, df, batch_id=0)["skipped"]
+    assert table.current_version() == v
+
+
+def test_multi_batch_replay_matches_oracle(spark, tmp_path, events_and_oracle):
+    """Split the log by delivery order into 5 sequential batches: the final
+    state must equal the single global LWW (batch boundaries invisible)."""
+    df, rows, pages, tombs = events_and_oracle
+    root = str(tmp_path / "tbl5")
+    table = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=16)
+    n = SPEC.n_events
+    step = n // 5 + 1
+    for i in range(5):
+        lo, hi = i * step, min((i + 1) * step, n)
+        batch = df.filter(
+            (df.log_offset >= lo) & (df.log_offset < hi)
+        )
+        apply_batch(table, batch, batch_id=i, salted=(i % 2 == 1))
+    _assert_state_matches(table, pages, tombs)
+
+
+def test_streaming_replay_and_resume(spark, tmp_path, events_and_oracle):
+    """availableNow streaming replay; then kill-and-resume semantics: a second
+    run over the same checkpoint applies nothing new."""
+    _, _, pages, tombs = events_and_oracle
+    log = str(tmp_path / "log")
+    root = str(tmp_path / "tbl_s")
+    ckpt = str(tmp_path / "ckpt")
+    write_change_log(spark, log, SPEC, n_files=10)
+    LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=16)
+
+    stats: list = []
+    run_replay(spark, log, root, ckpt, max_files_per_trigger=3, collect_stats=stats)
+    table = LakeTable.load(spark, root)
+    assert len(stats) >= 3  # several micro-batches
+    _assert_state_matches(table, pages, tombs)
+
+    v = table.current_version()
+    stats2: list = []
+    run_replay(spark, log, root, ckpt, max_files_per_trigger=3, collect_stats=stats2)
+    assert table.current_version() == v  # nothing re-applied
+    _assert_state_matches(table, pages, tombs)
+
+
+def test_kill_mid_replay_then_resume(spark, tmp_path, events_and_oracle):
+    """Simulate a crash after some batches: re-run from the same checkpoint;
+    replayed epochs are skipped, the rest applied, final state correct."""
+    df, rows, pages, tombs = events_and_oracle
+    log = str(tmp_path / "log2")
+    root = str(tmp_path / "tbl_k")
+    ckpt = str(tmp_path / "ckpt2")
+    write_change_log(spark, log, SPEC, n_files=8)
+    table = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=16)
+
+    # first run processes only part of the backlog (2 files/trigger, then we
+    # "crash" by limiting with maxFilesPerTrigger and stopping after 1 batch)
+    from adsimportpipeline_spark.sources.changelog import stream_change_log
+    from adsimportpipeline_spark.apply import apply_batch as _ab
+
+    hits = []
+
+    def _apply_once(batch_df, batch_id):
+        if len(hits) >= 2:
+            raise RuntimeError("injected crash")
+        hits.append(batch_id)
+        _ab(table, batch_df, batch_id)
+
+    q = (
+        stream_change_log(spark, log, 2)
+        .writeStream.foreachBatch(_apply_once)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+
+    # resume from the same checkpoint — including a replay of the failed batch
+    stats: list = []
+    run_replay(spark, log, root, ckpt, max_files_per_trigger=2, collect_stats=stats)
+    _assert_state_matches(table, pages, tombs)

@@ -1,0 +1,197 @@
+"""Document deduplication for web-scale training-data pipelines.
+
+The reference dedups at the record level (fingerprint diff tasks.py:56,
+order-preserving list dedup solr_adapter.py:592-619); a webtext engine needs
+document-content dedup.  All variants below are built from relational
+primitives (explode / groupBy / self-join on bucket keys) so they scale as
+ordinary shuffles — no driver-side loops, no per-row Python:
+
+- exact:        hash-groupBy on a normalized content fingerprint
+- minhash LSH:  shingle -> k minhashes -> b bands -> bucket self-join ->
+                exact-jaccard verify of candidates only
+- simhash:      per-bit majority vote over token hashes; near-dups share the
+                16-bit signature (or differ in few bits)
+- ngram jaccard: exact pairwise similarity, but only over LSH candidates
+- embedding near-dup: cosine >= threshold over LSH- or brute-candidates
+
+Hashes use the md5-derived :func:`portable_hash` so a DuckDB oracle can
+reproduce every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import content_fingerprint, portable_hash
+
+
+def normalize_words(col: str = "text"):
+    """Lowercased word array (split on non-alphanumerics, empties dropped)."""
+    return F.filter(
+        F.split(F.lower(F.col(col)), r"[^a-z0-9]+"), lambda w: w != ""
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-equal (normalized) documents: fingerprint -> member ids.
+    Returns one row per duplicated fingerprint with the sorted member list."""
+    fp = content_fingerprint(text_col).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (exploded)."""
+    words = normalize_words(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """k portable minhashes per doc, one aggregation pass (no k-way explode)."""
+    aggs = [
+        F.min(portable_hash(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidates.
+
+    The band self-join shuffles on the bucket value — at 100 TB this is the
+    standard LSH join; extremely hot buckets (boilerplate pages) can be
+    salted or capped upstream.
+    """
+    n_bands = k // band_size
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)],
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(F.col(id_col), *bands)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("bucket"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs only (never all-pairs)."""
+    sets = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    j = (
+        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        j.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify."""
+    sh = word_shingles(df, id_col, text_col, n).persist()
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, id_col, k), id_col, k, band_size)
+    return jaccard_verify(pairs, sh, id_col, threshold)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-doc simhash: majority vote of token-hash bits (distinct tokens).
+
+    One explode + one groupBy with ``bits`` conditional sums — a single
+    shuffle keyed on doc id; partial aggregation keeps big docs cheap.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(normalize_words(text_col))).alias("tok")
+    )
+    h = portable_hash(F.col("tok"))
+    toks = toks.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Docs sharing an identical simhash signature (near-dup buckets)."""
+    s = simhash(df, id_col, text_col, bits)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine >= threshold pairs via brute self-join (correctness baseline;
+    the scale path buckets by LSH hyperplane signs first — see
+    operators.similarity.lsh_ann)."""
+    from .similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        j.select("id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,150 @@
+"""Deterministic multi-version merge rules — the reference's merge core
+(SURVEY.md §2.4) re-expressed as DataFrame aggregations.
+
+The reference merges N per-origin metadata blocks into one canonical record
+via per-field rules (merger.py):
+
+- ``originTrustMerger`` (merger.py:311-318 + _getBestOrigin 286-309): fold
+  picking the block whose origin has max priority.
+- ``equalTrustFallback`` (merger.py:320-339): tie-break cascade — primary
+  flag, latest modtime, longer content, arbitrary-but-deterministic last.
+- ``takeAll`` (merger.py:226-241): order-preserving union-distinct.
+- ``takeAllByPriority`` (merger.py:244-265): priority-sorted union-distinct.
+- ``booleanMerger`` (merger.py:155-158): OR.
+- ``referencesMerger`` (merger.py:160-176): winner list + always-append
+  origins unioned in.
+
+All are expressed as associative aggregates (max_by / collect_list +
+array ops) so map-side partial aggregation keeps them skew-safe; none use
+Python UDFs.  Priority maps become broadcast-free literal CASE/map lookups
+(reference PRIORITIES config.py:93-336).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: reference semantics: unknown origins score as PUBLISHER (merger.py:305)
+DEFAULT_PRIORITY = 0.5
+
+
+def priority_expr(origin_col: str, priority_map: dict[str, float]) -> Column:
+    """origin -> priority score as a literal map lookup (no shuffle, no UDF)."""
+    m = F.create_map(*[F.lit(x) for kv in priority_map.items() for x in kv])
+    return F.coalesce(m[F.col(origin_col)], F.lit(DEFAULT_PRIORITY))
+
+
+def origin_trust_merge(
+    df: DataFrame,
+    key: str,
+    origin_col: str,
+    priority_map: dict[str, float],
+    modtime_col: str,
+    content_col: str,
+    primary_col: str | None = None,
+    offset_col: str | None = None,
+) -> DataFrame:
+    """One winner row per key: max priority, then the equalTrustFallback
+    cascade (primary flag, latest modtime, longer content, max offset).
+
+    Implemented as ``max_by`` over a composite ordering struct — associative,
+    partial-agg friendly (unlike the window formulation).
+    """
+    order_fields = [priority_expr(origin_col, priority_map).alias("p")]
+    if primary_col:
+        order_fields.append(F.coalesce(F.col(primary_col).cast("int"), F.lit(0)).alias("prim"))
+    order_fields.append(F.col(modtime_col).alias("mt"))
+    order_fields.append(F.coalesce(F.length(F.col(content_col)), F.lit(0)).alias("clen"))
+    if offset_col:
+        order_fields.append(F.col(offset_col).alias("off"))
+    payload = [c for c in df.columns if c != key]
+    out = df.groupBy(key).agg(
+        F.max_by(F.struct(*payload), F.struct(*order_fields)).alias("w")
+    )
+    return out.select(key, *[F.col(f"w.{c}").alias(c) for c in payload])
+
+
+def _first_occurrence_dedup(
+    df: DataFrame, key: str, value_col: str, order_col: Column, out_col: str
+) -> DataFrame:
+    """Order-preserving distinct: keep each value's first occurrence under
+    order_col, then re-assemble the array in that order (merger.py:226-241
+    preserves encounter order)."""
+    w = Window.partitionBy(key, value_col).orderBy(order_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return ranked.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct(order_col.alias("o"), F.col(value_col).alias("v")))
+        ).alias("_s")
+    ).select(key, F.transform("_s", lambda s: s["v"]).alias(out_col))
+
+
+def take_all(
+    df: DataFrame, key: str, value_col: str, order_col: str, out_col: str = "values"
+) -> DataFrame:
+    """Union-distinct preserving first-encounter order (A5, merger.py:226-241)."""
+    return _first_occurrence_dedup(df, key, value_col, F.col(order_col), out_col)
+
+
+def take_all_by_priority(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    origin_col: str,
+    priority_map: dict[str, float],
+    order_col: str,
+    out_col: str = "values",
+) -> DataFrame:
+    """Union-distinct with origin-priority-desc encounter order (A6,
+    merger.py:244-265 — e.g. publisher DOIs sort first)."""
+    order = F.struct(
+        (-priority_expr(origin_col, priority_map)).alias("np"),
+        F.col(order_col).alias("o"),
+    )
+    return _first_occurrence_dedup(df, key, value_col, order, out_col)
+
+
+def boolean_merge(df: DataFrame, key: str, bool_col: str, out_col: str = "merged") -> DataFrame:
+    """OR over blocks (A7, merger.py:155-158)."""
+    return df.groupBy(key).agg(F.max(F.col(bool_col).cast("boolean")).alias(out_col))
+
+
+def references_merge(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    origin_col: str,
+    priority_map: dict[str, float],
+    modtime_col: str,
+    always_append_origins: list[str],
+    out_col: str = "references",
+) -> DataFrame:
+    """Priority-fold winner's values unioned with values from always-append
+    origins, dedup'd (A8, merger.py:160-176; REFERENCES_ALWAYS_APPEND
+    config.py:340)."""
+    prio = priority_expr(origin_col, priority_map)
+    winner = df.groupBy(key).agg(
+        F.max_by(
+            F.col(value_col), F.struct(prio.alias("p"), F.col(modtime_col).alias("mt"))
+        ).alias("_winner_vals")
+    )
+    appends = (
+        df.filter(F.col(origin_col).isin(always_append_origins))
+        .groupBy(key)
+        .agg(F.flatten(F.collect_list(value_col)).alias("_appended"))
+    )
+    return (
+        winner.join(appends, key, "left")
+        .select(
+            key,
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col("_winner_vals"), F.array()),
+                        F.coalesce(F.col("_appended"), F.array()),
+                    )
+                )
+            ).alias(out_col),
+        )
+    )

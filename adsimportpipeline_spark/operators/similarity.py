@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(correctness baseline) and an LSH-bucketed variant (the 100 TB path).
+
+Vector math stays JVM-side via higher-order functions (``zip_with`` +
+``aggregate``) — no Python in the scoring loop.  For very wide vectors a
+Pandas-UDF/numpy batch scorer can be swapped in, but at dim=64 the built-in
+expressions win by avoiding Arrow transfer entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import portable_hash
+
+
+def dot_expr(a: str, b: str) -> Column:
+    prods = F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: str) -> Column:
+    sq = F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Plan shape: broadcast(queries) x vectors -> per-(query, vector) score ->
+    window top-k per query.  The query side is always the small side at
+    scale, so the join is a broadcast nested loop with no shuffle of the big
+    corpus; only the scored candidates shuffle for the per-query top-k.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    )
+    scored = vectors.select(F.col(id_col), F.col(vec_col).alias("_v")).crossJoin(q)
+    scored = scored.select(
+        query_id_col,
+        id_col,
+        F.round(
+            dot_expr("_qv", "_v") / (norm_expr("_qv") * norm_expr("_v")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_expr(vec_col: str, plane: int, dim: int) -> Column:
+    """Sign bit of <v, h_plane> where h_plane is a deterministic pseudo-random
+    hyperplane: h[d] = portable_hash('plane:d') scaled to [-0.5, 0.5].
+    Reproducible bit-for-bit in SQL for the oracle."""
+    comps = [
+        F.col(vec_col)[d].cast("double")
+        * ((portable_hash(F.lit(f"{plane}:{d}")) % 1000).cast("double") / 1000.0 - 0.5)
+        for d in range(dim)
+    ]
+    s = comps[0]
+    for c in comps[1:]:
+        s = s + c
+    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec_col: str, n_planes: int, dim: int) -> Column:
+    """Random-hyperplane LSH bucket id (concatenated sign bits)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + hyperplane_expr(vec_col, p, dim) * F.lit(2**p)
+    return bucket.cast("int")
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At 10^10 vectors this turns the scan into a bucket-pruned join
+    (2^n_planes buckets); recall is tuned by n_planes / multi-probe.
+    """
+    vb = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), lsh_bucket(vec_col, n_planes, dim).alias("_bkt")
+    )
+    qb = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            lsh_bucket(vec_col, n_planes, dim).alias("_bkt"),
+        )
+    )
+    scored = vb.join(qb, "_bkt").select(
+        query_id_col,
+        id_col,
+        F.round(dot_expr("_qv", "_v") / (norm_expr("_qv") * norm_expr("_v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,853 @@
+"""Driver-contract queries: every implemented operator from SURVEY.md §2 as a
+(spark_fn, duckdb_oracle_sql) pair over the shared test tables.
+
+Each Spark query and its ANSI-SQL twin compute the same result with the same
+column names (the driver hash-compares values after sorting columns by name).
+Determinism rules used throughout:
+
+- float aggregates go through exact DECIMAL sums, cast to double at the end
+  (eliminates summation-order divergence between engines);
+- every ranking has a total order (explicit tiebreak columns);
+- hashes use the md5-based portable hash (identical bit-for-bit in both).
+
+Oracle-less entries (mapInPandas multimodal, LSH ANN, CDC replay) are listed
+in NO_ORACLE — the driver records a weaker rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import (
+    bpe_ish_token_count,
+    bpe_ish_token_count_sql,
+    content_fingerprint,
+    content_fingerprint_sql,
+    lang_id,
+    lang_id_sql,
+    portable_hash,
+    quality_score,
+    quality_score_sql,
+    token_count,
+    token_count_sql,
+)
+from ..operators import cdc, dedup, lww, merge_rules, similarity
+
+# priority of event origins for merge rules (analog of reference PRIORITIES,
+# config.py:93-336; unknown origins default to 0.5 = PUBLISHER, merger.py:305)
+EVENT_PRIORITIES = {"purchase": 1.0, "signup": 0.8, "view": 0.6, "click": 0.3, "error": 0.1}
+
+_PRIO_SQL = (
+    "CASE event_type WHEN 'purchase' THEN 1.0::DOUBLE WHEN 'signup' THEN 0.8::DOUBLE "
+    "WHEN 'view' THEN 0.6::DOUBLE WHEN 'click' THEN 0.3::DOUBLE WHEN 'error' THEN 0.1::DOUBLE "
+    "ELSE 0.5::DOUBLE END"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# CDC core operators on the `events` stream table
+# =====================================================================
+
+def q_lww_latest(spark, sf_dir):
+    """A3/A4/W5: LWW winner per user over (ts, event_id) — max_by plan."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    return lww.lww_dedup(ev, key="user_id", order_cols=("ts", "event_id"))
+
+
+def q_lww_latest_salted(spark, sf_dir):
+    """Same result via explicit two-phase hot-key salting (north_rule)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    return lww.lww_dedup_salted(ev, key="user_id", order_cols=("ts", "event_id"), n_salts=8)
+
+
+def q_lww_latest_window(spark, sf_dir):
+    """Same result via the row_number window formulation (reference W5)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    return lww.lww_dedup_window(ev, key="user_id", order_cols=("ts", "event_id"))
+
+
+_LWW_SQL = """
+SELECT user_id, ts, event_id, event_type, value FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_changed_records(spark, sf_dir):
+    """P2: fingerprint-diff change detection (tasks.py:52-64): users whose
+    latest event payload fingerprint differs from their first (the 'stored'
+    state)."""
+    ev = _t(spark, sf_dir, "events").withColumn("fingerprint", F.md5(F.coalesce("props", F.lit(""))))
+    sel = ev.select("user_id", "ts", "event_id", "fingerprint")
+    stored = lww.lww_dedup(
+        sel.withColumn("_neg_id", -F.col("event_id")).withColumn("_neg_ts", -F.unix_timestamp("ts")),
+        key="user_id",
+        order_cols=("_neg_ts", "_neg_id"),
+    ).select("user_id", "fingerprint")
+    incoming = lww.lww_dedup(sel, key="user_id", order_cols=("ts", "event_id"))
+    out = cdc.changed_records(incoming, stored, key="user_id")
+    return out.select("user_id", "event_id", "fingerprint")
+
+
+_CHANGED_SQL = """
+WITH fp AS (SELECT user_id, ts, event_id, md5(coalesce(props,'')) AS fingerprint FROM events),
+stored AS (SELECT user_id, fingerprint FROM (
+  SELECT user_id, fingerprint, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn FROM fp) WHERE rn=1),
+incoming AS (SELECT user_id, event_id, fingerprint FROM (
+  SELECT user_id, event_id, fingerprint, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM fp) WHERE rn=1)
+SELECT i.user_id, i.event_id, i.fingerprint
+FROM incoming i LEFT JOIN stored s ON i.user_id = s.user_id
+WHERE s.fingerprint IS NULL OR i.fingerprint <> s.fingerprint OR i.fingerprint = 'ignore'
+"""
+
+
+def q_new_records(spark, sf_dir):
+    """P3: feed keys absent from the store (left-anti join, tasks.py:66-73)."""
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    sup = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("user_id"))
+    return cdc.new_records(ev, sup, key="user_id")
+
+
+_NEW_SQL = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
+"""
+
+
+def q_orphaned(spark, sf_dir):
+    """J2/SO1: stored keys absent from the feed -> deletion candidates
+    (compute_orphaned, app.py:106-117)."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey"))
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey"))
+    return cdc.orphaned_records(cust, ev, key="c_custkey")
+
+
+_ORPHANED_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT user_id FROM events)
+"""
+
+
+def q_deletion_cap(spark, sf_dir):
+    """W3: deletion safety valve (run.py:65-72): orphan count + allowed flag."""
+    orphans = q_orphaned(spark, sf_dir)
+    return orphans.agg(
+        F.count(F.lit(1)).alias("n_orphaned"),
+        (F.count(F.lit(1)) <= 2000).alias("allowed"),
+    )
+
+
+_DELETION_CAP_SQL = """
+SELECT count(*)::BIGINT AS n_orphaned, count(*) <= 2000 AS allowed
+FROM customer WHERE c_custkey NOT IN (SELECT user_id FROM events)
+"""
+
+
+def q_tombstone_guard(spark, sf_dir):
+    """J5: resurrection guard (app.py:54-67): latest non-error event per user
+    survives only if newer than the user's latest 'error' tombstone."""
+    ev = _t(spark, sf_dir, "events")
+    incoming = lww.lww_dedup(
+        ev.filter(F.col("event_type") != "error")
+        .select("user_id", F.col("ts").alias("warc_ts"), F.col("event_id").alias("log_offset"), "event_type"),
+        key="user_id",
+        order_cols=("warc_ts", "log_offset"),
+    )
+    tombs = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("warc_ts"), F.col("event_id").alias("log_offset")
+    )
+    out = cdc.tombstone_guard(incoming, tombs, key="user_id")
+    return out.select(
+        "user_id",
+        F.col("warc_ts").alias("ts"),
+        F.col("log_offset").alias("event_id"),
+        "event_type",
+    )
+
+
+_TOMBSTONE_SQL = """
+WITH incoming AS (
+  SELECT user_id, ts, event_id, event_type FROM (
+    SELECT user_id, ts, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE event_type <> 'error') WHERE rn = 1),
+tomb AS (
+  SELECT user_id, ts AS tts, event_id AS tid FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE event_type = 'error') WHERE rn = 1)
+SELECT i.user_id, i.ts, i.event_id, i.event_type
+FROM incoming i LEFT JOIN tomb t ON i.user_id = t.user_id
+WHERE t.tts IS NULL OR i.ts > t.tts OR (i.ts = t.tts AND i.event_id > t.tid)
+"""
+
+
+def q_fingerprint_agg(spark, sf_dir):
+    """A13: canonical fingerprint = ';'.join(sorted(set)) (read_records.py:78)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", F.col("event_type").alias("fingerprint"))
+    return cdc.fingerprint_aggregate(ev, key="user_id", fp_col="fingerprint")
+
+
+_FP_AGG_SQL = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ';') AS fingerprint_agg
+FROM events GROUP BY user_id
+"""
+
+
+def q_origin_trust_merge(spark, sf_dir):
+    """A3+A4: priority-max fold with the equalTrustFallback cascade
+    (merger.py:286-339): priority desc, modtime desc, content length desc,
+    offset desc."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value", "props")
+    out = merge_rules.origin_trust_merge(
+        ev,
+        key="user_id",
+        origin_col="event_type",
+        priority_map=EVENT_PRIORITIES,
+        modtime_col="ts",
+        content_col="props",
+        offset_col="event_id",
+    )
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+_ORIGIN_TRUST_SQL = f"""
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY {_PRIO_SQL} DESC, ts DESC, coalesce(length(props),0) DESC, event_id DESC) rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_take_all(spark, sf_dir):
+    """A5: order-preserving union-distinct (merger.py:226-241)."""
+    ev = _t(spark, sf_dir, "events").withColumn("_ord", F.struct("ts", "event_id"))
+    out = merge_rules.take_all(ev.select("user_id", "event_type", "_ord"), "user_id", "event_type", "_ord")
+    return out.select("user_id", F.array_join("values", "|").alias("merged"))
+
+
+_TAKE_ALL_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) rn
+  FROM events)
+SELECT user_id, array_to_string(array_agg(event_type ORDER BY ts, event_id), '|') AS merged
+FROM r WHERE rn = 1 GROUP BY user_id
+"""
+
+
+def q_take_all_by_priority(spark, sf_dir):
+    """A6: union-distinct in origin-priority order (merger.py:244-265)."""
+    ev = _t(spark, sf_dir, "events").withColumn("_ord", F.struct("ts", "event_id"))
+    out = merge_rules.take_all_by_priority(
+        ev.select("user_id", "event_type", "_ord"),
+        "user_id",
+        "event_type",
+        origin_col="event_type",
+        priority_map=EVENT_PRIORITIES,
+        order_col="_ord",
+    )
+    return out.select("user_id", F.array_join("values", "|").alias("merged"))
+
+
+_TAKE_ALL_PRIO_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id, {_PRIO_SQL} AS p,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY {_PRIO_SQL} DESC, ts, event_id) rn
+  FROM events)
+SELECT user_id, array_to_string(array_agg(event_type ORDER BY p DESC, ts, event_id), '|') AS merged
+FROM r WHERE rn = 1 GROUP BY user_id
+"""
+
+
+def q_boolean_merge(spark, sf_dir):
+    """A7: OR over blocks (merger.py:155-158)."""
+    ev = _t(spark, sf_dir, "events").withColumn("is_purchase", F.col("event_type") == "purchase")
+    return merge_rules.boolean_merge(ev.select("user_id", "is_purchase"), "user_id", "is_purchase", "merged")
+
+
+_BOOL_SQL = """
+SELECT user_id, bool_or(event_type = 'purchase') AS merged FROM events GROUP BY user_id
+"""
+
+
+def q_references_merge(spark, sf_dir):
+    """A8: priority winner's values + always-append origins, dedup'd
+    (merger.py:160-176; REFERENCES_ALWAYS_APPEND config.py:340)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", F.array(F.col("event_type")).alias("vals")
+    )
+    out = merge_rules.references_merge(
+        ev,
+        key="user_id",
+        value_col="vals",
+        origin_col="event_type",
+        priority_map=EVENT_PRIORITIES,
+        modtime_col="ts",
+        always_append_origins=["error", "signup"],
+    )
+    return out.select("user_id", F.array_join("references", "|").alias("references"))
+
+
+_REFS_SQL = f"""
+WITH winner AS (
+  SELECT user_id, event_type AS wtype FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY {_PRIO_SQL} DESC, ts DESC) rn
+    FROM events) WHERE rn = 1),
+appends AS (
+  SELECT user_id, list(DISTINCT event_type) AS atypes
+  FROM events WHERE event_type IN ('error','signup') GROUP BY user_id)
+SELECT w.user_id,
+       array_to_string(list_sort(list_distinct(list_append(coalesce(a.atypes, []), w.wtype))), '|') AS references
+FROM winner w LEFT JOIN appends a ON w.user_id = a.user_id
+"""
+
+
+def q_block_grouping(spark, sf_dir):
+    """A1: blocks-per-type histogram + single/multi split (merger.py:16-46)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        (F.count(F.lit(1)) > 1).alias("multiply_defined"),
+    )
+
+
+_BLOCK_SQL = """
+SELECT user_id, event_type, count(*)::BIGINT AS n_blocks, count(*) > 1 AS multiply_defined
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_publication_split(spark, sf_dir):
+    """A9: primary-vs-alternate split (merger.py:178-223): best 'purchase'
+    block is primary, other event types counted as alternates."""
+    ev = _t(spark, sf_dir, "events")
+    primary = lww.lww_dedup(
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id"),
+        key="user_id",
+        order_cols=("ts", "event_id"),
+    ).select("user_id", F.col("event_id").alias("primary_event_id"))
+    alts = ev.filter(F.col("event_type") != "purchase").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_alternates")
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(primary, "user_id", "left")
+        .join(alts, "user_id", "left")
+        .select(
+            "user_id",
+            "primary_event_id",
+            F.coalesce("n_alternates", F.lit(0)).cast("long").alias("n_alternates"),
+        )
+    )
+
+
+_PUB_SPLIT_SQL = """
+WITH prim AS (
+  SELECT user_id, event_id AS primary_event_id FROM (
+    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+alts AS (SELECT user_id, count(*)::BIGINT AS n_alternates FROM events WHERE event_type <> 'purchase' GROUP BY user_id)
+SELECT u.user_id, p.primary_event_id, coalesce(a.n_alternates, 0)::BIGINT AS n_alternates
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN prim p ON u.user_id = p.user_id
+LEFT JOIN alts a ON u.user_id = a.user_id
+"""
+
+
+def q_first_writer_wins(spark, sf_dir):
+    """S1 dup policy: priority-ordered feed, first writer wins per key
+    (run.py:34-62 OrderedDict setdefault)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "props")
+    out = lww.lww_dedup(
+        ev.withColumn("_neg_ts", -F.unix_timestamp("ts")).withColumn("_neg_id", -F.col("event_id")),
+        key="user_id",
+        order_cols=("_neg_ts", "_neg_id"),
+    )
+    return out.select("user_id", F.col("event_id").alias("first_event_id"), F.col("props").alias("first_props"))
+
+
+_FIRST_WINS_SQL = """
+SELECT user_id, event_id AS first_event_id, props AS first_props FROM (
+  SELECT user_id, event_id, props, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_top2_per_type(spark, sf_dir):
+    """W1/W2: sort + top-k per group (author ordering / first-author analog,
+    solr_adapter.py:130, 358-364)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("event_type", "event_id", "value", "rank")
+    )
+
+
+_TOP2_SQL = """
+SELECT event_type, event_id, value, rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+  FROM events) WHERE rank <= 2
+"""
+
+
+def q_identifier_union(spark, sf_dir):
+    """SO3: union-distinct identifier merge (solr_adapter.py:413-420)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+_IDENT_UNION_SQL = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey::BIGINT AS nationkey FROM customer
+  UNION ALL SELECT s_nationkey::BIGINT FROM supplier)
+"""
+
+
+def q_scalar_normalize(spark, sf_dir):
+    """F1/F2/F3/F15: date normalization (multi-precision parse), bool
+    coercion, midnight day-shift (enforce_schema.py:54-83,
+    solr_adapter.py:283-300)."""
+    ev = _t(spark, sf_dir, "events")
+    dstr = F.substring(F.col("ts").cast("string"), 1, 10)
+    mstr = F.concat(F.substring(F.col("ts").cast("string"), 1, 7), F.lit("-01"))
+    return ev.select(
+        "event_id",
+        F.to_timestamp(dstr).alias("parsed_date"),
+        F.to_timestamp(mstr).alias("parsed_month"),
+        (F.col("value") > 50).alias("flag"),
+        F.when(F.hour("ts") == 0, F.col("ts") + F.expr("INTERVAL 1 DAY")).otherwise(F.col("ts")).alias("entry_date"),
+    )
+
+
+_SCALAR_SQL = """
+SELECT event_id,
+       CAST(substr(ts::VARCHAR, 1, 10) AS TIMESTAMP) AS parsed_date,
+       CAST(substr(ts::VARCHAR, 1, 7) || '-01' AS TIMESTAMP) AS parsed_month,
+       value > 50 AS flag,
+       CASE WHEN extract(hour FROM ts) = 0 THEN ts + INTERVAL 1 DAY ELSE ts END AS entry_date
+FROM events
+"""
+
+
+# =====================================================================
+# Relational coverage / bench headliners (TPC-H-ish)
+# =====================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """Q1-style aggregation over lineitem (decimal-exact sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # exact decimal products: no double rounding at half boundaries
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_minus_disc = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    one_plus_tax = F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
+    disc = (price * one_minus_disc).cast("decimal(24,6)")
+    charge = (price * one_minus_disc * one_plus_tax).cast("decimal(24,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """Q3-style 3-way join + exact-decimal revenue top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(24,6)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = j.groupBy("o_orderkey", "o_orderdate").agg(F.sum(disc).alias("_rev"))
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate, CAST(rev AS DOUBLE) AS revenue FROM (
+  SELECT o_orderkey, o_orderdate,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,6))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderdate
+  ORDER BY rev DESC, o_orderkey ASC LIMIT 10)
+"""
+
+
+def q_semi_join_lookup(spark, sf_dir):
+    """J1: batched key lookup as a broadcast join (app.py:79-86) + exact sums."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+    )
+
+
+_SEMI_SQL = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# =====================================================================
+# Training-data pipeline: documents
+# =====================================================================
+
+def q_doc_fingerprint_groups(spark, sf_dir):
+    """Exact dedup assignment: normalized-content fingerprint groups."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(content_fingerprint("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")), ",").alias("doc_ids"),
+        )
+    )
+
+
+_EXACT_DUP_SQL = f"""
+SELECT {content_fingerprint_sql('text')} AS fingerprint,
+       count(*)::BIGINT AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM documents GROUP BY 1
+"""
+
+_WORDS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+_SHINGLES_CTE = f"""
+words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                         i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM words) t WHERE shingle <> '')
+"""
+
+
+def _mh_sql(i: int) -> str:
+    return f"min(CAST(concat('0x', substr(md5(concat('{i}:', shingle)), 1, 15)) AS BIGINT)) AS mh{i}"
+
+
+def q_doc_minhash_sigs(spark, sf_dir):
+    """MinHash signatures (k=8, word 3-gram shingles, portable hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    return dedup.minhash_signatures(sh, "doc_id", k=8)
+
+
+_MINHASH_SIGS_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + "SELECT doc_id, "
+    + ", ".join(_mh_sql(i) for i in range(8))
+    + " FROM shingles GROUP BY doc_id"
+)
+
+
+def q_doc_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (band=2, jaccard verify >= 0.05)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3, k=8, band_size=2, threshold=0.05)
+
+
+def _band_sql(b: int, band_size: int = 2) -> str:
+    cols = "||'|'||".join(f"mh{b * band_size + j}::VARCHAR" for j in range(band_size))
+    return f"md5('{b}'||'|'||{cols}) AS band{b}"
+
+
+_MINHASH_PAIRS_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + ", sigs AS (SELECT doc_id, "
+    + ", ".join(_mh_sql(i) for i in range(8))
+    + " FROM shingles GROUP BY doc_id), "
+    + "bands AS (SELECT doc_id, "
+    + ", ".join(_band_sql(b) for b in range(4))
+    + " FROM sigs), "
+    + "stacked AS (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bucket FROM bands), "
+    + "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM stacked a "
+    + "JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id), "
+    + "sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingles GROUP BY doc_id) "
+    + "SELECT id_a, id_b, jaccard FROM ("
+    + "SELECT id_a, id_b, round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+    + "len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard "
+    + "FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id) "
+    + "WHERE jaccard >= 0.05"
+)
+
+
+def q_doc_simhash(spark, sf_dir):
+    """16-bit SimHash per document (distinct-token bit-majority vote)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents) t),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, ({sig})::BIGINT AS simhash FROM votes
+"""
+
+
+def q_doc_lang_id(spark, sf_dir):
+    """Language-ID via stopword-marker argmax (n-gram heuristic)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+_LANG_SQL = f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents"
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring (alpha ratio x length/space bands)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+_QUALITY_SQL = f"SELECT doc_id, {quality_score_sql('text')} AS quality FROM documents"
+
+
+def q_doc_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish token counting."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+_TOKENS_SQL = f"""
+SELECT doc_id, {token_count_sql('text')}::BIGINT AS n_tokens,
+       {bpe_ish_token_count_sql('text')}::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Per-doc content fingerprint + portable 63-bit hash."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = content_fingerprint("text")
+    return docs.select("doc_id", fp.alias("fingerprint"), portable_hash(F.col("text")).alias("hash63"))
+
+
+_DOC_FP_SQL = f"""
+SELECT doc_id, {content_fingerprint_sql('text')} AS fingerprint,
+       CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hash63
+FROM documents
+"""
+
+
+# =====================================================================
+# Similarity search: embeddings
+# =====================================================================
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id % 97 == 0)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 97 = 0)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) DESC, e.vec_id ASC) AS rank
+  FROM q CROSS JOIN embeddings e) WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Cosine >= 0.25 near-dup pairs over the vec_id%5==0 subset."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return dedup.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.25)
+
+
+_EMB_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+"""
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (scale path; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_ann_topk(emb, queries, k=5, n_planes=4, dim=64)
+
+
+# =====================================================================
+# Oracle-less plans: multimodal plumbing + CDC flagship
+# =====================================================================
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary media decode/featurize plumbing (mapInPandas; stubbed codec)."""
+    from ..functions.multimodal import decode_and_featurize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = decode_and_featurize(docs, "doc_id", "payload")
+    return out.select("doc_id", "media_type", "width", "height", "n_bytes")
+
+
+def q_cdc_final_state(spark, sf_dir):
+    """Flagship: synthetic CDC log -> LWW -> tombstone-filtered final state
+    with vectorized HTML->text extraction (md5 pins byte-identity)."""
+    from ..datagen import GenSpec, generate_change_log
+    from ..functions.html import html_to_text
+
+    events = generate_change_log(spark, GenSpec(n_events=20_000, n_urls=1_500, seed=42))
+    winners = lww.lww_dedup(events, key="url")
+    final = winners.filter(F.col("op") != "delete")
+    return final.select(
+        "url",
+        "warc_ts",
+        "log_offset",
+        "lang",
+        F.md5(html_to_text(F.col("html"))).alias("text_md5"),
+    )
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lww_latest": q_lww_latest,
+    "lww_latest_salted": q_lww_latest_salted,
+    "lww_latest_window": q_lww_latest_window,
+    "changed_records": q_changed_records,
+    "new_records": q_new_records,
+    "orphaned_records": q_orphaned,
+    "deletion_cap": q_deletion_cap,
+    "tombstone_guard": q_tombstone_guard,
+    "fingerprint_agg": q_fingerprint_agg,
+    "origin_trust_merge": q_origin_trust_merge,
+    "take_all": q_take_all,
+    "take_all_by_priority": q_take_all_by_priority,
+    "boolean_merge": q_boolean_merge,
+    "references_merge": q_references_merge,
+    "block_grouping": q_block_grouping,
+    "publication_split": q_publication_split,
+    "first_writer_wins": q_first_writer_wins,
+    "top2_per_type": q_top2_per_type,
+    "identifier_union": q_identifier_union,
+    "scalar_normalize": q_scalar_normalize,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "semi_join_lookup": q_semi_join_lookup,
+    "doc_fingerprint_groups": q_doc_fingerprint_groups,
+    "doc_minhash_sigs": q_doc_minhash_sigs,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_simhash": q_doc_simhash,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_quality": q_doc_quality,
+    "doc_token_count": q_doc_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_topk": q_ann_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "multimodal_decode": q_multimodal_decode,
+    "cdc_final_state": q_cdc_final_state,
+}
+
+ORACLES: dict[str, str] = {
+    "lww_latest": _LWW_SQL,
+    "lww_latest_salted": _LWW_SQL,
+    "lww_latest_window": _LWW_SQL,
+    "changed_records": _CHANGED_SQL,
+    "new_records": _NEW_SQL,
+    "orphaned_records": _ORPHANED_SQL,
+    "deletion_cap": _DELETION_CAP_SQL,
+    "tombstone_guard": _TOMBSTONE_SQL,
+    "fingerprint_agg": _FP_AGG_SQL,
+    "origin_trust_merge": _ORIGIN_TRUST_SQL,
+    "take_all": _TAKE_ALL_SQL,
+    "take_all_by_priority": _TAKE_ALL_PRIO_SQL,
+    "boolean_merge": _BOOL_SQL,
+    "references_merge": _REFS_SQL,
+    "block_grouping": _BLOCK_SQL,
+    "publication_split": _PUB_SPLIT_SQL,
+    "first_writer_wins": _FIRST_WINS_SQL,
+    "top2_per_type": _TOP2_SQL,
+    "identifier_union": _IDENT_UNION_SQL,
+    "scalar_normalize": _SCALAR_SQL,
+    "pricing_summary": _Q1_SQL,
+    "top_revenue_orders": _Q3_SQL,
+    "semi_join_lookup": _SEMI_SQL,
+    "doc_fingerprint_groups": _EXACT_DUP_SQL,
+    "doc_minhash_sigs": _MINHASH_SIGS_SQL,
+    "doc_minhash_pairs": _MINHASH_PAIRS_SQL,
+    "doc_simhash": _simhash_sql(16),
+    "doc_lang_id": _LANG_SQL,
+    "doc_quality": _QUALITY_SQL,
+    "doc_token_count": _TOKENS_SQL,
+    "doc_fingerprint": _DOC_FP_SQL,
+    "ann_topk": _ANN_SQL,
+    "embedding_near_dups": _EMB_DUP_SQL,
+    # lsh_ann_topk, multimodal_decode, cdc_final_state: rows-only checks
+}

@@ -1,0 +1,64 @@
+"""Every driver query vs its DuckDB oracle: row count, column names, and an
+order-insensitive value hash — a local mirror of the driver's correctness
+gate (CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from adsimportpipeline_spark.plans.driver_queries import ORACLES, QUERIES
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def _hashable(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+
+    assert sorted(scols) == sorted(ocols), f"{name}: columns {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{name}: rows {len(srows)} vs {len(orows)}"
+    sh, oh = _hashable(srows, scols), _hashable(orows, ocols)
+    mismatches = [(a, b) for a, b in zip(sh, oh) if a != b][:5]
+    assert sh == oh, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_oracleless_query_runs(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0

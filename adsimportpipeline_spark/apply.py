@@ -30,12 +30,13 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from .evolve import align_to_schema, reconcile_schema
 from .functions.html import html_to_text
 from .lake.table import LakeTable, bucket_expr
 from .operators.cdc import tombstone_guard
-from .operators.lww import lww_dedup, lww_dedup_salted
+from .operators.lww import lww_dedup, lww_dedup_salted, lww_dedup_semi
 from .schema import LINEAGE_SCHEMA, OP_DELETE, TOMBSTONE_SCHEMA
 
 
@@ -60,6 +61,8 @@ def apply_batch(
     salted: bool = False,
     n_salts: int = 16,
     merge_partitions: int | None = None,
+    dedup_strategy: str = "semi",
+    prune_buckets: bool = True,
 ) -> dict:
     """Apply one micro-batch of change events. Returns stats. Idempotent:
     re-delivery of an already-committed batch_id is a no-op."""
@@ -67,9 +70,17 @@ def apply_batch(
         return {"batch_id": batch_id, "skipped": True}
 
     t0 = time.time()
+    phases: dict[str, float] = {}
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        phases[name] = round(now - (t0 + sum(phases.values())), 3)
+
     m = table.manifest()
     key, nb = m["key"], m["n_buckets"]
-    batch_df = batch_df.persist()
+    # batch_df is deliberately NOT cached: its three passes (lineage stats,
+    # dedup, tombstone scan) each prune to a few columns, so columnar re-reads
+    # from the source beat materializing the full rows on the heap
     try:
         # lineage: per-source-partition offset range + row counts (north_rule)
         part_stats = (
@@ -81,17 +92,34 @@ def apply_batch(
             )
             .collect()
         )
+        _mark("lineage_stats")
 
-        # 1. in-batch LWW dedup (explicit salting optional per north_rule)
-        dedup = lww_dedup_salted(batch_df, key, n_salts=n_salts) if salted else lww_dedup(batch_df, key)
+        # 1. in-batch LWW dedup (explicit salting optional per north_rule);
+        #    persisted — reused by bucket discovery AND the merge join, so the
+        #    big groupBy shuffle runs once.  'semi' shuffles ordering keys
+        #    only (payloads of losing events never move).
+        if salted:
+            dedup = lww_dedup_salted(batch_df, key, n_salts=n_salts)
+        elif dedup_strategy == "semi":
+            dedup = lww_dedup_semi(batch_df, key)
+        else:
+            dedup = lww_dedup(batch_df, key)
         if merge_partitions:
             dedup = dedup.repartition(merge_partitions, key)
+        dedup = dedup.persist(StorageLevel.MEMORY_AND_DISK)
 
-        # 2. bucket pruning: read only touched buckets of the target table
-        touched = [
-            r[0]
-            for r in dedup.select(bucket_expr(key, nb).alias("b")).distinct().collect()
-        ]
+        # 2. bucket pruning: read only touched buckets of the target table.
+        #    A bulk replay touches every bucket anyway — prune_buckets=False
+        #    skips the discovery job (incremental micro-batches keep it: a
+        #    small batch touching k buckets reads/rewrites only those k)
+        if prune_buckets:
+            touched = [
+                r[0]
+                for r in dedup.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+            ]
+        else:
+            touched = list(range(nb))
+        _mark("dedup_and_touched")
         evolved = reconcile_schema(table.schema(m), pages_schema_for(batch_df.schema))
         current = align_to_schema(table.read_buckets(touched, m), evolved)
 
@@ -149,6 +177,7 @@ def apply_batch(
         ]
         lineage_df = table.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA) if lineage_rows else None
 
+        _mark("plan_build")
         version = table.overwrite_buckets(
             new_data,
             touched,
@@ -158,6 +187,7 @@ def apply_batch(
             tombstone_appends=tomb_appends,
             lineage_appends=lineage_df,
         )
+        _mark("commit_write")
         n_events = sum(r["rows_applied"] for r in part_stats)
         return {
             "batch_id": batch_id,
@@ -166,11 +196,12 @@ def apply_batch(
             "events": n_events,
             "touched_buckets": len(touched),
             "latency_ms": latency_ms,
+            "phases": phases,
             "committed_at": datetime.now(timezone.utc).isoformat(),
         }
     finally:
-        batch_df.unpersist()
-        try:
-            appliable.unpersist()
-        except Exception:
-            pass
+        for _df in ("dedup", "appliable"):
+            try:
+                locals()[_df].unpersist()
+            except Exception:
+                pass

@@ -121,17 +121,23 @@ def generate_change_log(spark: SparkSession, spec: GenSpec = GenSpec()) -> DataF
 
 
 def write_change_log(
-    spark: SparkSession, path: str, spec: GenSpec = GenSpec(), n_files: int = 32
+    spark: SparkSession,
+    path: str,
+    spec: GenSpec = GenSpec(),
+    n_files: int = 32,
+    ordered: bool = True,
 ) -> None:
-    """Materialize the change log as parquet split into n_files ordered files
-    (the streaming file source consumes them as micro-batches)."""
+    """Materialize the change log as parquet split into n_files files.
+
+    ``ordered=True`` range-partitions + sorts by log_offset so a streaming
+    file source consumes micro-batches in roughly delivery order (realistic
+    binlog tailing).  Batch replay benchmarks can skip the global sort."""
     df = generate_change_log(spark, spec)
-    (
-        df.repartitionByRange(n_files, "log_offset")
-        .sortWithinPartitions("log_offset")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    if ordered:
+        df = df.repartitionByRange(n_files, "log_offset").sortWithinPartitions("log_offset")
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(path)
 
 
 # ----------------------------------------------------------------------------

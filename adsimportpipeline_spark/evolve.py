@@ -40,7 +40,7 @@ def _wider(a: T.DataType, b: T.DataType) -> T.DataType:
     incompatible pairs."""
     if a == b:
         return a
-    an, bn = a.simpleString(), b.simpleString()
+    an, bn = a.typeName(), b.typeName()
     if _WIDENING.get((an, bn)):
         return b
     if _WIDENING.get((bn, an)):

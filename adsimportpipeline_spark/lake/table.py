@@ -224,8 +224,11 @@ class LakeTable:
             m["current_schema_id"] = sid
         sid = m["current_schema_id"]
 
-        # write new bucket data partitioned by bucket dir
-        tagged = new_data.withColumn("_bucket", bucket_expr(key, nb))
+        # write new bucket data partitioned by bucket dir; repartition by
+        # bucket first so each bucket's rows colocate in few tasks (without
+        # this every task writes a sliver of every bucket -> tasks x buckets
+        # tiny files)
+        tagged = new_data.withColumn("_bucket", bucket_expr(key, nb)).repartition(F.col("_bucket"))
         d = os.path.join(self.root, "data", f"c-{uuid.uuid4().hex[:12]}")
         tagged.write.mode("overwrite").partitionBy("_bucket").parquet(d)
 
@@ -233,11 +236,15 @@ class LakeTable:
             files = self._parquet_files(d, f"_bucket={b}")
             m["buckets"][str(b)] = [{"path": p, "schema_id": sid} for p in files]
 
+        # repartition(1), not coalesce(1): coalesce would collapse the whole
+        # upstream distinct/aggregation into a single task; repartition keeps
+        # the computation parallel and only funnels the (small) result to one
+        # output file
         if tombstone_appends is not None:
-            td = self._write_data_dir(tombstone_appends.coalesce(1), "tomb")
+            td = self._write_data_dir(tombstone_appends.repartition(1), "tomb")
             m["tombstone_files"] += [{"path": p, "schema_id": sid} for p in self._parquet_files(td)]
         if lineage_appends is not None:
-            ld = self._write_data_dir(lineage_appends.coalesce(1), "lin")
+            ld = self._write_data_dir(lineage_appends.repartition(1), "lin")
             m["lineage_files"] += [{"path": p, "schema_id": sid} for p in self._parquet_files(ld)]
 
         if epoch_source is not None and epoch is not None:
@@ -245,3 +252,13 @@ class LakeTable:
 
         m["version"] = m["version"] + 1
         return self._commit_manifest(m)
+
+    def compact(self, bucket_ids: list[int] | None = None) -> int:
+        """Small-file compaction: rewrite each bucket's file group into a
+        fresh single group (Iceberg rewrite_data_files analog).  Untouched
+        buckets carry forward; readers keep older snapshots via time travel."""
+        m = self.manifest()
+        if bucket_ids is None:
+            bucket_ids = [int(b) for b in m["buckets"]]
+        data = self.read_buckets(bucket_ids, m)
+        return self.overwrite_buckets(data, bucket_ids, new_schema=self.schema(m))

@@ -1,0 +1,117 @@
+"""Grouped enrichment via array-vs-array matching — the reference's
+author-merge slot (J4/A10) as a grouped ``applyInPandas``.
+
+Reference behavior (SURVEY.md §2.3 J4, §2.4 A10): after the priority fold
+picks a winner author list (merger.py:133-153), missing affiliations are
+filled from the loser list by bipartite name matching — Kuhn-Munkres over a
+Levenshtein similarity matrix (author_match.py:318-363), pairs accepted at
+score >= 0.6, whole merge abandoned below 0.5 (author_match.py:385-387,
+398-410).
+
+v1 uses deterministic greedy max-weight matching (scipy is unavailable in
+this sandbox; the reference itself falls back between two implementations,
+author_match.py:344-350).  The *slot* — grouped applyInPandas over the merge
+key, numpy-vectorized scoring — is the architecture; swapping greedy for
+``scipy.optimize.linear_sum_assignment`` is a two-line change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAIR_ACCEPT = 0.6   # reference author_match.py:398-410
+MERGE_BAIL = 0.5    # reference author_match.py:385-387
+
+ENRICHED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("affiliation", T.StringType(), True),
+        T.StructField("match_score", T.DoubleType(), True),
+    ]
+)
+
+
+def _sim_matrix(a: list[str], b: list[str]) -> np.ndarray:
+    """Levenshtein-ratio similarity matrix (vectorized DP over the batch)."""
+    m = np.zeros((len(a), len(b)))
+    for i, x in enumerate(a):
+        for j, y in enumerate(b):
+            m[i, j] = _lev_ratio(x.lower(), y.lower())
+    return m
+
+
+def _lev_ratio(x: str, y: str) -> float:
+    if not x and not y:
+        return 1.0
+    lx, ly = len(x), len(y)
+    prev = np.arange(ly + 1)
+    for i in range(1, lx + 1):
+        cur = np.empty(ly + 1, dtype=np.int64)
+        cur[0] = i
+        xs = x[i - 1]
+        for j in range(1, ly + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (xs != y[j - 1]))
+        prev = cur
+    return 1.0 - prev[ly] / max(lx, ly)
+
+
+def _greedy_match(sim: np.ndarray) -> list[tuple[int, int, float]]:
+    """Deterministic greedy max-weight matching: best pairs first, ties by
+    (i, j)."""
+    pairs = [(-sim[i, j], i, j) for i in range(sim.shape[0]) for j in range(sim.shape[1])]
+    pairs.sort()
+    used_i: set[int] = set()
+    used_j: set[int] = set()
+    out = []
+    for negs, i, j in pairs:
+        if i in used_i or j in used_j:
+            continue
+        used_i.add(i)
+        used_j.add(j)
+        out.append((i, j, -negs))
+    return out
+
+
+def enrich_affiliations(
+    winners: DataFrame,
+    losers: DataFrame,
+    key: str = "url",
+) -> DataFrame:
+    """Fill winner rows' missing ``affiliation`` from the loser list of the
+    same key by name matching (grouped applyInPandas).
+
+    Inputs: (key, name, affiliation) rows for winner and loser versions.
+    Output: winner rows with affiliations enriched where a loser name matched
+    at score >= 0.6; merge skipped entirely if mean match < 0.5.
+    """
+    w = winners.selectExpr(key, "name", "affiliation").withColumn("_side", F.lit("w"))
+    l_ = losers.selectExpr(key, "name", "affiliation").withColumn("_side", F.lit("l"))
+    both = w.unionByName(l_)
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        wrows = pdf[pdf["_side"] == "w"].reset_index(drop=True)
+        lrows = pdf[pdf["_side"] == "l"].reset_index(drop=True)
+        url = pdf["url"].iloc[0]
+        if wrows.empty:
+            return pd.DataFrame(columns=["url", "name", "affiliation", "match_score"])
+        out = wrows[["name", "affiliation"]].copy()
+        out["match_score"] = np.nan
+        if not lrows.empty:
+            sim = _sim_matrix(list(wrows["name"]), list(lrows["name"]))
+            matches = _greedy_match(sim)
+            scores = [s for _, _, s in matches]
+            if scores and float(np.mean(scores)) >= MERGE_BAIL:
+                for i, j, s in matches:
+                    if s >= PAIR_ACCEPT:
+                        out.loc[i, "match_score"] = s
+                        if pd.isna(out.loc[i, "affiliation"]) or out.loc[i, "affiliation"] in (None, ""):
+                            out.loc[i, "affiliation"] = lrows.loc[j, "affiliation"]
+        out.insert(0, "url", url)
+        return out
+
+    return both.groupBy(key).applyInPandas(_merge, ENRICHED_SCHEMA)

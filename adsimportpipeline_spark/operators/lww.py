@@ -71,6 +71,35 @@ def lww_dedup_salted(
     return lww_dedup(pre, key=key, order_cols=order_cols)
 
 
+def lww_dedup_semi(
+    df: DataFrame,
+    key: str = "url",
+    order_cols: tuple[str, ...] = DEFAULT_ORDER,
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Payload-light LWW: argmax over the ordering keys only, then fetch the
+    winning rows back with a (broadcast) semi-join.
+
+    The default :func:`lww_dedup` shuffles every event's full payload (html
+    blobs!); this variant shuffles only ``(key, order_cols)`` (~40 bytes/row)
+    to find each key's winning version, then joins the winner keys back to
+    the unshuffled events — the payload of losers never crosses the wire.
+    On a memory-bandwidth-bound node this is ~10x less data movement; at
+    cluster scale it is the difference between shuffling 100 TB and
+    shuffling 400 GB.
+
+    ``broadcast_keys=True`` broadcasts the winner-key set (bounded by the
+    micro-batch's distinct keys); set False to fall back to a shuffled join
+    when a batch has too many distinct keys to broadcast.
+    """
+    order_struct = _order_struct(order_cols)
+    keys = df.groupBy(key).agg(F.max(order_struct).alias("_w"))
+    keys = F.broadcast(keys) if broadcast_keys else keys
+    matched = df.join(keys, key).filter(order_struct == F.col("_w")).drop("_w")
+    # exact duplicate deliveries share (key, order_cols); collapse them
+    return lww_dedup(matched, key=key, order_cols=order_cols)
+
+
 def lww_dedup_window(
     df: DataFrame,
     key: str = "url",

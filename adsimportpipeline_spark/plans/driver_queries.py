@@ -73,6 +73,13 @@ def q_lww_latest_window(spark, sf_dir):
     return lww.lww_dedup_window(ev, key="user_id", order_cols=("ts", "event_id"))
 
 
+def q_lww_latest_semi(spark, sf_dir):
+    """Same result via the payload-light argmax + broadcast-back semi-join
+    (the 100 TB plan: losing payloads never shuffle)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    return lww.lww_dedup_semi(ev, key="user_id", order_cols=("ts", "event_id"))
+
+
 _LWW_SQL = """
 SELECT user_id, ts, event_id, event_type, value FROM (
   SELECT user_id, ts, event_id, event_type, value,
@@ -780,6 +787,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lww_latest": q_lww_latest,
     "lww_latest_salted": q_lww_latest_salted,
     "lww_latest_window": q_lww_latest_window,
+    "lww_latest_semi": q_lww_latest_semi,
     "changed_records": q_changed_records,
     "new_records": q_new_records,
     "orphaned_records": q_orphaned,
@@ -819,6 +827,7 @@ ORACLES: dict[str, str] = {
     "lww_latest": _LWW_SQL,
     "lww_latest_salted": _LWW_SQL,
     "lww_latest_window": _LWW_SQL,
+    "lww_latest_semi": _LWW_SQL,
     "changed_records": _CHANGED_SQL,
     "new_records": _NEW_SQL,
     "orphaned_records": _ORPHANED_SQL,

@@ -1,0 +1,59 @@
+"""Lake table unit tests: bucket pruning, time travel, compaction, epochs."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from adsimportpipeline_spark.lake.table import LakeTable, bucket_expr
+from adsimportpipeline_spark.schema import PAGES_SCHEMA
+
+
+def _rows(spark, urls):
+    return spark.createDataFrame(
+        [(u, datetime(2024, 1, 1), 1, None, "t", "en", "crawl", "fp") for u in urls],
+        PAGES_SCHEMA,
+    )
+
+
+def test_bucket_pruning_reads_only_touched(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), PAGES_SCHEMA, n_buckets=8)
+    urls = [f"u{i}" for i in range(50)]
+    df = _rows(spark, urls)
+    t.overwrite_buckets(df, list(range(8)))
+    # compute each url's bucket, then read a subset of buckets
+    with_b = df.select("url", bucket_expr("url", 8).alias("b")).collect()
+    want = {r["url"] for r in with_b if r["b"] in (0, 1)}
+    got = {r["url"] for r in t.read_buckets([0, 1]).collect()}
+    assert got == want
+
+
+def test_time_travel_and_compaction(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t2"), PAGES_SCHEMA, n_buckets=4)
+    t.overwrite_buckets(_rows(spark, ["a", "b"]), list(range(4)))
+    v1 = t.current_version()
+    # second commit rewrites everything with more rows
+    t.overwrite_buckets(_rows(spark, ["a", "b", "c", "d"]), list(range(4)))
+    assert t.read().count() == 4
+    assert t.read(version=v1).count() == 2  # time travel to the old snapshot
+
+    # several more commits -> multiple file groups per bucket; compact merges
+    for extra in (["e"], ["f"], ["g"]):
+        cur = t.read()
+        t.overwrite_buckets(cur.unionByName(_rows(spark, extra)), list(range(4)))
+    m = t.manifest()
+    t.compact()
+    m2 = t.manifest()
+    assert t.read().count() == 7
+    files_before = sum(len(v) for v in m["buckets"].values())
+    files_after = sum(len(v) for v in m2["buckets"].values())
+    assert files_after <= files_before
+
+
+def test_epoch_bookkeeping(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t3"), PAGES_SCHEMA, n_buckets=2)
+    assert t.last_epoch("cdc") == -1
+    t.overwrite_buckets(_rows(spark, ["a"]), [0, 1], epoch_source="cdc", epoch=7)
+    assert t.last_epoch("cdc") == 7
+    assert t.last_epoch("other") == -1

@@ -1,0 +1,203 @@
+"""Unit tests per operator, mirroring the reference's merge-rule test
+strategy (tests/classic/test_merger.py golden cases; SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from adsimportpipeline_spark.evolve import align_to_schema, reconcile_schema
+from adsimportpipeline_spark.functions.enforce import enforce_blocks
+from adsimportpipeline_spark.functions.textstats import lang_id, quality_score, token_count
+from adsimportpipeline_spark.operators import merge_rules
+from adsimportpipeline_spark.operators.enrich import enrich_affiliations
+from adsimportpipeline_spark.operators.lww import (
+    lww_dedup,
+    lww_dedup_salted,
+    lww_dedup_semi,
+    lww_dedup_window,
+)
+
+PRIO = {"pub": 1.0, "crawl": 0.4}
+
+
+def _blocks(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, origin string, modtime timestamp, content string, off long"
+    )
+
+
+def test_origin_trust_priority_wins(spark):
+    """Higher-priority origin beats newer low-priority block (reference
+    test_merger.py:43-76: 'STI; IOP' beats SIMBAD)."""
+    df = _blocks(
+        spark,
+        [
+            ("u1", "crawl", datetime(2024, 1, 2), "newer-low-prio", 2),
+            ("u1", "pub", datetime(2024, 1, 1), "older-high-prio", 1),
+        ],
+    )
+    out = merge_rules.origin_trust_merge(
+        df, "url", "origin", PRIO, "modtime", "content", offset_col="off"
+    ).collect()
+    assert out[0]["content"] == "older-high-prio"
+
+
+def test_origin_trust_unknown_origin_default(spark):
+    """Unknown origin scores DEFAULT_PRIORITY=0.5 (merger.py:305): beats
+    crawl(0.4), loses to pub(1.0)."""
+    df = _blocks(
+        spark,
+        [
+            ("u1", "mystery", datetime(2024, 1, 1), "unknown-origin", 1),
+            ("u1", "crawl", datetime(2024, 1, 2), "crawl", 2),
+        ],
+    )
+    out = merge_rules.origin_trust_merge(
+        df, "url", "origin", PRIO, "modtime", "content", offset_col="off"
+    ).collect()
+    assert out[0]["content"] == "unknown-origin"
+
+
+def test_equal_trust_fallback_cascade(spark):
+    """Equal priority -> later modtime; equal modtime -> longer content;
+    then offset (merger.py:320-339)."""
+    df = _blocks(
+        spark,
+        [
+            ("u1", "pub", datetime(2024, 1, 1), "old", 1),
+            ("u1", "pub", datetime(2024, 1, 2), "new", 2),
+            ("u2", "pub", datetime(2024, 1, 1), "short", 3),
+            ("u2", "pub", datetime(2024, 1, 1), "looooonger", 4),
+        ],
+    )
+    out = {
+        r["url"]: r["content"]
+        for r in merge_rules.origin_trust_merge(
+            df, "url", "origin", PRIO, "modtime", "content", offset_col="off"
+        ).collect()
+    }
+    assert out == {"u1": "new", "u2": "looooonger"}
+
+
+def test_take_all_preserves_first_occurrence_order(spark):
+    df = spark.createDataFrame(
+        [("u", "b", 1), ("u", "a", 2), ("u", "b", 3), ("u", "c", 4)],
+        "url string, v string, ord long",
+    )
+    out = merge_rules.take_all(df, "url", "v", "ord").collect()
+    assert out[0]["values"] == ["b", "a", "c"]
+
+
+def test_take_all_by_priority_sorts_origin_first(spark):
+    """Publisher values sort before crawl values regardless of encounter
+    order (test_merger.py:78-118 DOI ordering)."""
+    df = spark.createDataFrame(
+        [("u", "x-crawl", "crawl", 1), ("u", "x-pub", "pub", 2)],
+        "url string, v string, origin string, ord long",
+    )
+    out = merge_rules.take_all_by_priority(df, "url", "v", "origin", PRIO, "ord").collect()
+    assert out[0]["values"] == ["x-pub", "x-crawl"]
+
+
+def test_references_merge_always_append(spark):
+    df = spark.createDataFrame(
+        [
+            ("u", datetime(2024, 1, 1), "pub", ["r1", "r2"]),
+            ("u", datetime(2024, 1, 2), "isi", ["r2", "r3"]),
+        ],
+        "url string, modtime timestamp, origin string, vals array<string>",
+    )
+    out = merge_rules.references_merge(
+        df, "url", "vals", "origin", PRIO, "modtime", always_append_origins=["isi"]
+    ).collect()
+    assert out[0]["references"] == ["r1", "r2", "r3"]
+
+
+def test_lww_variants_agree(spark):
+    """max_by, salted two-phase, and window formulations are equivalent."""
+    from adsimportpipeline_spark.datagen import GenSpec, generate_change_log
+
+    ev = generate_change_log(spark, GenSpec(n_events=3000, n_urls=100, seed=3)).select(
+        "url", "warc_ts", "log_offset", "op", "fingerprint"
+    )
+    a = sorted(map(tuple, lww_dedup(ev).collect()))
+    b = sorted(map(tuple, lww_dedup_salted(ev, n_salts=7).collect()))
+    c = sorted(map(tuple, lww_dedup_window(ev).collect()))
+    d = sorted(map(tuple, lww_dedup_semi(ev).collect()))
+    e = sorted(map(tuple, lww_dedup_semi(ev, broadcast_keys=False).collect()))
+    assert a == b == c == d == e
+
+
+def test_enforce_blocks_udtf(spark):
+    html = b"<html><head><title>T1</title></head><body><p>hello world</p><a href=x>l</a></body></html>"
+    df = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1), 1, "crawl", html)],
+        "url string, warc_ts timestamp, log_offset long, source_origin string, html binary",
+    )
+    blocks = {r["block_type"]: r["content"] for r in enforce_blocks(df).collect()}
+    assert blocks["meta"] == "T1"
+    assert "hello world" in blocks["text"]
+    assert blocks["links"] == "1"
+
+
+def test_enrich_affiliations_matching(spark):
+    winners = spark.createDataFrame(
+        [("u", "smith, john", None), ("u", "doe, jane", "MIT")],
+        "url string, name string, affiliation string",
+    )
+    losers = spark.createDataFrame(
+        [("u", "smith, j.", "Harvard"), ("u", "unrelated name", "X")],
+        "url string, name string, affiliation string",
+    )
+    out = {r["name"]: r for r in enrich_affiliations(winners, losers).collect()}
+    assert out["smith, john"]["affiliation"] == "Harvard"  # filled from match
+    assert out["doe, jane"]["affiliation"] == "MIT"  # kept, not overwritten
+
+
+def test_schema_evolution_rules():
+    a = T.StructType([T.StructField("x", T.IntegerType()), T.StructField("y", T.StringType())])
+    b = T.StructType([T.StructField("x", T.LongType()), T.StructField("z", T.DoubleType())])
+    out = reconcile_schema(a, b)
+    assert [f.dataType.simpleString() for f in out.fields] == ["bigint", "string", "double"]
+    with pytest.raises(TypeError):
+        reconcile_schema(
+            T.StructType([T.StructField("x", T.StringType())]),
+            T.StructType([T.StructField("x", T.LongType())]),
+        )
+
+
+def test_align_to_schema(spark):
+    df = spark.createDataFrame([(1, "a")], "x int, y string")
+    target = T.StructType(
+        [
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.StringType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+    row = align_to_schema(df, target).collect()[0]
+    assert row["x"] == 1 and row["z"] is None
+    assert align_to_schema(df, target).schema["x"].dataType == T.LongType()
+
+
+def test_textstats_basics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und der vogel"),
+            (3, ""),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in df.select(
+        "id", lang_id("text").alias("lang"), token_count("text").alias("n"), quality_score("text").alias("q")
+    ).collect()}
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "de"
+    assert out[3]["lang"] == "und" and out[3]["n"] == 0
+    assert out[1]["n"] == 8
+    assert 0.0 <= out[1]["q"] <= 1.0

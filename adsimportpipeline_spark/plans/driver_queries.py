@@ -698,6 +698,80 @@ FROM documents
 """
 
 
+def q_canonical_fingerprints(spark, sf_dir):
+    """J3+A13: alias->canonical mapping join + fingerprint fold
+    (conversions.py:37-58, read_records.py:64-78).  Synthetic alias rule:
+    user ids with (id % 10) >= 5 are alternates of id-5."""
+    from ..operators.canonicalize import canonical_fingerprints
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url"), F.col("event_type").alias("fingerprint")
+    )
+    alias_map = (
+        ev.select("url")
+        .distinct()
+        .filter(F.col("url") % 10 >= 5)
+        .select(F.col("url").alias("alias"), (F.col("url") - 5).alias("canonical"))
+    )
+    out = canonical_fingerprints(ev, alias_map, key="url")
+    return out.select(F.col("url").alias("user_id"), "fingerprint_agg")
+
+
+_CANON_FP_SQL = """
+SELECT CASE WHEN user_id % 10 >= 5 THEN user_id - 5 ELSE user_id END AS user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ';') AS fingerprint_agg
+FROM events GROUP BY 1
+"""
+
+
+def q_output_projection(spark, sf_dir):
+    """Adapter stage (P6, F8/F10-F14, F20): flat output doc with facet
+    hierarchies, map translation, '; '-join-or-dash, JSON links, and the
+    empty-content guard (solr_adapter.py:111-554, 558-590)."""
+    from ..functions.adapter import (
+        empty_to_null,
+        facet_hierarchy,
+        joined_or_dash,
+        lang_collection,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("source", "source_origin")
+    toks = token_count("text")
+    facet0, facet1 = facet_hierarchy("lang", "source_origin")
+    links = F.concat(
+        F.lit('{"lang":"'), F.col("lang"),
+        F.lit('","tokens":'), toks.cast("string"),
+        F.lit(',"doc":'), F.col("doc_id").cast("string"), F.lit("}"),
+    )
+    return docs.select(
+        "doc_id",
+        empty_to_null(F.col("text")).alias("text"),
+        lang_collection("lang").alias("collection"),
+        facet0.alias("lang_facet"),
+        facet1.alias("lang_source_facet"),
+        toks.alias("n_tokens"),
+        links.alias("links_data"),
+        joined_or_dash(F.array(F.col("lang"), F.col("source_origin"))).alias("tags"),
+        F.array_join(F.array(F.col("lang"), F.col("source_origin")), "\n").alias("comments"),
+    )
+
+
+_OUTPUT_PROJ_SQL = f"""
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL AND length(text) > 0 THEN text END AS text,
+       CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german' WHEN 'fr' THEN 'french'
+                 WHEN 'es' THEN 'spanish' WHEN 'zh' THEN 'chinese' ELSE 'other' END AS collection,
+       '0/' || lang AS lang_facet,
+       '1/' || lang || '/' || source AS lang_source_facet,
+       {token_count_sql('text')}::BIGINT AS n_tokens,
+       '{{"lang":"' || lang || '","tokens":' || ({token_count_sql('text')})::BIGINT || ',"doc":' || doc_id || '}}' AS links_data,
+       CASE WHEN length(concat_ws('; ', lang, source)) > 0
+            THEN concat_ws('; ', lang, source) ELSE '-' END AS tags,
+       lang || chr(10) || source AS comments
+FROM documents
+"""
+
+
 # =====================================================================
 # Similarity search: embeddings
 # =====================================================================
@@ -805,6 +879,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top2_per_type": q_top2_per_type,
     "identifier_union": q_identifier_union,
     "scalar_normalize": q_scalar_normalize,
+    "canonical_fingerprints": q_canonical_fingerprints,
+    "output_projection": q_output_projection,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "semi_join_lookup": q_semi_join_lookup,
@@ -845,6 +921,8 @@ ORACLES: dict[str, str] = {
     "top2_per_type": _TOP2_SQL,
     "identifier_union": _IDENT_UNION_SQL,
     "scalar_normalize": _SCALAR_SQL,
+    "canonical_fingerprints": _CANON_FP_SQL,
+    "output_projection": _OUTPUT_PROJ_SQL,
     "pricing_summary": _Q1_SQL,
     "top_revenue_orders": _Q3_SQL,
     "semi_join_lookup": _SEMI_SQL,

@@ -51,6 +51,24 @@ N_HIGH = N_LOW * 4
 TRIALS = 2        # strong-low (the slow run: N cores, full input)
 TRIALS_FAST = 3   # strong-high and weak-low (fast runs)
 
+#: overall wall budget (sec): extra trials are dropped once exceeded so the
+#: bench always emits its JSON line instead of dying to an outer timeout
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
+_START = time.time()
+
+
+def _over_budget() -> bool:
+    return time.time() - _START > BUDGET_SEC
+
+
+def _trials(n: int, fn) -> float:
+    best = fn()  # always at least one
+    for _ in range(n - 1):
+        if _over_budget():
+            break
+        best = max(best, fn())
+    return best
+
 HEADLINE = [
     "cdc_final_state",
     "lww_latest",
@@ -161,9 +179,9 @@ def main() -> None:
     # — the faithful proxy for cluster scale-out, where every added executor
     # node brings its own memory bandwidth and local disks.
     steal0 = _steal_ticks()
-    thr_low = max(_run_child(N_LOW, log_path, N_EVENTS) for _ in range(TRIALS))
-    thr_high = max(_run_child(N_HIGH, log_path, N_EVENTS) for _ in range(TRIALS_FAST))
-    thr_low_weak = max(_run_child(N_LOW, small_log_path, n_small) for _ in range(TRIALS_FAST))
+    thr_high = _trials(TRIALS_FAST, lambda: _run_child(N_HIGH, log_path, N_EVENTS))
+    thr_low_weak = _trials(TRIALS_FAST, lambda: _run_child(N_LOW, small_log_path, n_small))
+    thr_low = _trials(TRIALS, lambda: _run_child(N_LOW, log_path, N_EVENTS))
     steal1 = _steal_ticks()
     efficiency = (thr_high / thr_low) / ratio
     weak_efficiency = (thr_high / thr_low_weak) / ratio

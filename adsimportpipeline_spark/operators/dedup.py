@@ -53,8 +53,10 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     words = normalize_words(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    # dedup via the relational distinct only: array_distinct here would be
+    # O(len^2) string comparisons per document before the explode
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )

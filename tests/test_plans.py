@@ -1,0 +1,55 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in `.explain` — filter pushdown to the parquet scan, broadcast joins
+for small sides, map-side partial aggregation for the LWW dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adsimportpipeline_spark.operators.lww import lww_dedup, lww_dedup_semi
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").filter(F.col("user_id") == 7).select("event_id")
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "user_id" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan reads only the needed columns
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "event_id" in read_schema and "props" not in read_schema
+
+
+def test_semi_lww_uses_broadcast(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").alias("log_offset"),
+        "event_type",
+    )
+    plan = _plan(lww_dedup_semi(ev))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lww_max_by_has_partial_aggregation(spark, sf_dir):
+    """The max_by dedup must pre-reduce map-side (skew safety): the plan
+    shows a partial HashAggregate before the exchange."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").alias("log_offset"),
+        "event_type",
+    )
+    plan = _plan(lww_dedup(ev))
+    before_exchange = plan.split("(5) Exchange")[0]
+    assert "partial_max_by" in plan  # map-side combine exists
+    assert "partial_max_by" in before_exchange  # ...and precedes the shuffle
+
+
+def test_broadcast_join_in_lookup(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).groupBy("c_mktsegment").count()
+    assert "BroadcastHashJoin" in _plan(j)

@@ -16,16 +16,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from adsimportpipeline_spark.plans.driver_queries import ORACLES, QUERIES
+from adsimportpipeline_spark.session import ensure_shipped
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query; driver checks rows>0 with a stable schema."""
+    ensure_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return QUERIES["cdc_final_state"](spark, "/root/testdata/sf0.001")
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_shipped(spark)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return inner
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

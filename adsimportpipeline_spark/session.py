@@ -28,6 +28,19 @@ def _ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+def ensure_shipped(spark: SparkSession) -> SparkSession:
+    """Idempotently ship the package into an externally-created session
+    (e.g. the verification driver's) so pandas UDFs resolve on workers."""
+    marker = "adsimportpipeline.shipped"
+    try:
+        if spark.conf.get(marker, None) != "true":
+            _ship_package(spark)
+            spark.conf.set(marker, "true")
+    except Exception:
+        pass
+    return spark
+
+
 def get_spark(
     app_name: str = "adsimportpipeline-spark",
     master: str | None = None,

@@ -224,7 +224,10 @@ def main() -> None:
             "# BENCH — CDC replay scaling evidence\n\n"
             "Same job (full change-log replay into a fresh lake table: LWW dedup +\n"
             "tombstones + vectorized HTML->text + copy-on-write commit) on identical\n"
-            f"input ({N_EVENTS:,} events, {N_URLS:,} urls, seed 42), process pinned by\n"
+            f"input ({N_EVENTS:,} events, {N_URLS:,} urls, seed 42 — including the\n"
+            "generator's hot-url skew: ~10% of ALL events hit a single url, handled\n"
+            "by the payload-light argmax whose partial aggregation pre-reduces the\n"
+            "hot key map-side), process pinned by\n"
             "sched_setaffinity to N / 4N CPUs before JVM spawn, best of "
             f"{TRIALS} trials:\n\n"
             "| mode | pinned CPUs | events | events/sec |\n|---|---|---|---|\n"

@@ -53,7 +53,7 @@ TRIALS_FAST = 3   # strong-high and weak-low (fast runs)
 
 #: overall wall budget (sec): extra trials are dropped once exceeded so the
 #: bench always emits its JSON line instead of dying to an outer timeout
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
 _START = time.time()
 
 

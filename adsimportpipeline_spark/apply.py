@@ -82,16 +82,6 @@ def apply_batch(
     # dedup, tombstone scan) each prune to a few columns, so columnar re-reads
     # from the source beat materializing the full rows on the heap
     try:
-        # lineage: per-source-partition offset range + row counts (north_rule)
-        part_stats = (
-            batch_df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.min("log_offset").alias("offset_start"),
-                F.max("log_offset").alias("offset_end"),
-                F.count(F.lit(1)).alias("rows_applied"),
-            )
-            .collect()
-        )
         _mark("lineage_stats")
 
         # 1. in-batch LWW dedup (explicit salting optional per north_rule);
@@ -122,22 +112,39 @@ def apply_batch(
         _mark("dedup_and_touched")
         evolved = reconcile_schema(table.schema(m), pages_schema_for(batch_df.schema))
         current = align_to_schema(table.read_buckets(touched, m), evolved)
+        # manifest-level emptiness: a fresh table / bulk first replay has no
+        # stored rows and no tombstones — skip the stale-filter and guard
+        # joins outright instead of shuffling every winner (wide rows!)
+        # against provably-empty sides.
+        has_current = any(m["buckets"].get(str(b)) for b in touched)
+        has_tombs = bool(m["tombstone_files"])
 
         # 3. stale filter: strictly-newer-than-stored (struct comparison is
         #    lexicographic on (warc_ts, log_offset) — the LWW order)
-        stored = current.select(
-            F.col(key),
-            F.struct(F.col("warc_ts").alias("ts"), F.col("log_offset").alias("off")).alias("_stored"),
-        )
-        j = dedup.join(stored, key, "left")
-        newer = F.col("_stored").isNull() | (
-            F.struct(F.col("warc_ts").alias("ts"), F.col("log_offset").alias("off")) > F.col("_stored")
-        )
-        appliable = j.filter(newer).drop("_stored")
+        if has_current:
+            stored = current.select(
+                F.col(key),
+                F.struct(F.col("warc_ts").alias("ts"), F.col("log_offset").alias("off")).alias("_stored"),
+            )
+            j = dedup.join(stored, key, "left")
+            newer = F.col("_stored").isNull() | (
+                F.struct(F.col("warc_ts").alias("ts"), F.col("log_offset").alias("off")) > F.col("_stored")
+            )
+            appliable = j.filter(newer).drop("_stored")
+        else:
+            appliable = dedup
 
-        # 4. resurrection guard vs prior-batch tombstones
-        tombs = table.read_tombstones(TOMBSTONE_SCHEMA).withColumnRenamed("deleted_ts", "warc_ts")
-        appliable = tombstone_guard(appliable, tombs, key).persist()
+        # 4. resurrection guard vs prior-batch tombstones.  Tombstones are
+        #    pruned to the batch's touched buckets first: the guard then
+        #    joins against a slice proportional to the batch, not the
+        #    table's whole delete history (join strategy left to AQE).
+        if has_tombs:
+            tombs = table.read_tombstones(TOMBSTONE_SCHEMA).withColumnRenamed("deleted_ts", "warc_ts")
+            if prune_buckets and len(touched) < nb:
+                tombs = tombs.filter(bucket_expr(key, nb).isin(touched))
+            appliable = tombstone_guard(appliable, tombs, key)
+        if appliable is not dedup:
+            appliable = appliable.persist(StorageLevel.MEMORY_AND_DISK)
 
         applied_keys = appliable.select(key)
         upserts = (
@@ -147,10 +154,17 @@ def apply_batch(
         upserts = align_to_schema(upserts, evolved)
 
         # 5. copy-on-write: survivors of touched buckets + applied upserts
-        new_data = current.join(applied_keys, key, "left_anti").unionByName(upserts)
+        if has_current:
+            new_data = current.join(applied_keys, key, "left_anti").unionByName(upserts)
+        else:
+            new_data = upserts
 
         # 6. tombstone audit: every delete event in the batch (reference
-        #    app.py:15-21 appends every delete to change_log)
+        #    app.py:15-21 appends every delete to change_log).  Anti-join
+        #    against already-stored tombstones so a duplicate delivery that
+        #    lands in a *different* micro-batch than its original does not
+        #    append a second (url, ts, offset) row — the audit log stays a
+        #    distinct set, matching replay_oracle's semantics exactly.
         tomb_appends = (
             batch_df.filter(F.col("op") == OP_DELETE)
             .select(
@@ -161,21 +175,36 @@ def apply_batch(
             )
             .distinct()
         )
+        if has_tombs:
+            tomb_appends = tomb_appends.join(
+                table.read_tombstones(TOMBSTONE_SCHEMA).select("url", "deleted_ts", "log_offset"),
+                ["url", "deleted_ts", "log_offset"],
+                "left_anti",
+            )
 
+        # lineage: per-source-partition offset range + row counts
+        # (north_rule).  A pure transformation — no driver collect; its
+        # write runs as a concurrent Spark job alongside the data write
+        # inside overwrite_buckets.
         latency_ms = (time.time() - t0) * 1000.0
-        lineage_rows = [
-            {
-                "batch_id": int(batch_id),
-                "partition_id": int(r["partition_id"]),
-                "offset_start": r["offset_start"],
-                "offset_end": r["offset_end"],
-                "rows_applied": int(r["rows_applied"]),
-                "merge_latency_ms": float(latency_ms),
-                "commit_epoch": int(batch_id),
-            }
-            for r in part_stats
-        ]
-        lineage_df = table.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA) if lineage_rows else None
+        lineage_df = (
+            batch_df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.min("log_offset").alias("offset_start"),
+                F.max("log_offset").alias("offset_end"),
+                F.count(F.lit(1)).alias("rows_applied"),
+            )
+            .select(
+                F.lit(int(batch_id)).alias("batch_id"),
+                "partition_id",
+                "offset_start",
+                "offset_end",
+                "rows_applied",
+                F.lit(float(latency_ms)).alias("merge_latency_ms"),
+                F.lit(int(batch_id)).alias("commit_epoch"),
+            )
+        )
+        lineage_df = align_to_schema(lineage_df, LINEAGE_SCHEMA)
 
         _mark("plan_build")
         version = table.overwrite_buckets(
@@ -188,12 +217,10 @@ def apply_batch(
             lineage_appends=lineage_df,
         )
         _mark("commit_write")
-        n_events = sum(r["rows_applied"] for r in part_stats)
         return {
             "batch_id": batch_id,
             "skipped": False,
             "version": version,
-            "events": n_events,
             "touched_buckets": len(touched),
             "latency_ms": latency_ms,
             "phases": phases,

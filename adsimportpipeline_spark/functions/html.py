@@ -75,3 +75,21 @@ def with_text(col: str | Column = "html") -> Column:
     """Column expression: extracted text of an html binary column."""
     c = F.col(col) if isinstance(col, str) else col
     return html_to_text(c)
+
+
+def extract_text_sql(expr: str) -> str:
+    """ANSI/DuckDB SQL twin of the extraction chain, generated from the SAME
+    ``_RE_STEPS`` table so the two can never drift.
+
+    RE2 interprets the escape sequences (\\t, \\f, ...) inside the pattern
+    itself, so patterns pass through as plain SQL string literals; newline
+    *replacements* are spelled ``chr(10)`` to stay escape-free.  The final
+    ``trim`` strips the same whitespace set as Python ``str.strip()``.
+    """
+    s = expr
+    for pat, repl in _RE_STEPS:
+        p = pat.pattern.replace("'", "''")
+        r = "chr(10)" if repl == "\n" else "'" + repl.replace("'", "''") + "'"
+        s = f"regexp_replace({s}, '{p}', {r}, 'g')"
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    return f"trim({s}, {ws})"

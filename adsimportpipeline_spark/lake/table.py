@@ -227,25 +227,49 @@ class LakeTable:
         # write new bucket data partitioned by bucket dir; repartition by
         # bucket first so each bucket's rows colocate in few tasks (without
         # this every task writes a sliver of every bucket -> tasks x buckets
-        # tiny files)
+        # tiny files).  The three independent writes (data, tombstones,
+        # lineage) are submitted as CONCURRENT Spark jobs — the scheduler
+        # interleaves their tasks, so the small appends ride along instead of
+        # serializing after the big write (atomicity is unaffected: nothing
+        # is visible until the single manifest flip below).
         tagged = new_data.withColumn("_bucket", bucket_expr(key, nb)).repartition(F.col("_bucket"))
         d = os.path.join(self.root, "data", f"c-{uuid.uuid4().hex[:12]}")
-        tagged.write.mode("overwrite").partitionBy("_bucket").parquet(d)
 
-        for b in touched_buckets:
-            files = self._parquet_files(d, f"_bucket={b}")
-            m["buckets"][str(b)] = [{"path": p, "schema_id": sid} for p in files]
+        def _write_main() -> None:
+            tagged.write.mode("overwrite").partitionBy("_bucket").parquet(d)
 
         # repartition(1), not coalesce(1): coalesce would collapse the whole
         # upstream distinct/aggregation into a single task; repartition keeps
         # the computation parallel and only funnels the (small) result to one
         # output file
+        jobs = [_write_main]
+        results: dict[str, str] = {}
         if tombstone_appends is not None:
-            td = self._write_data_dir(tombstone_appends.repartition(1), "tomb")
-            m["tombstone_files"] += [{"path": p, "schema_id": sid} for p in self._parquet_files(td)]
+            jobs.append(lambda: results.__setitem__(
+                "tomb", self._write_data_dir(tombstone_appends.repartition(1), "tomb")))
         if lineage_appends is not None:
-            ld = self._write_data_dir(lineage_appends.repartition(1), "lin")
-            m["lineage_files"] += [{"path": p, "schema_id": sid} for p in self._parquet_files(ld)]
+            jobs.append(lambda: results.__setitem__(
+                "lin", self._write_data_dir(lineage_appends.repartition(1), "lin")))
+        if len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                for fut in [pool.submit(j) for j in jobs]:
+                    fut.result()
+        else:
+            jobs[0]()
+
+        for b in touched_buckets:
+            files = self._parquet_files(d, f"_bucket={b}")
+            m["buckets"][str(b)] = [{"path": p, "schema_id": sid} for p in files]
+        if "tomb" in results:
+            m["tombstone_files"] += [
+                {"path": p, "schema_id": sid} for p in self._parquet_files(results["tomb"])
+            ]
+        if "lin" in results:
+            m["lineage_files"] += [
+                {"path": p, "schema_id": sid} for p in self._parquet_files(results["lin"])
+            ]
 
         if epoch_source is not None and epoch is not None:
             m["committed_epochs"][epoch_source] = int(epoch)

@@ -68,12 +68,18 @@ def tombstone_guard(
     event legitimately resurrects the url; only stale events are blocked —
     this is what makes batched application equal to a global LWW over the
     whole log.
+
+    Scale note: the tombstone table grows without bound over the table's
+    lifetime, so the join strategy is deliberately left to Catalyst/AQE —
+    it broadcasts only when the aggregated per-key max is actually small.
+    Callers that can bound the tombstone side (e.g. the apply path prunes
+    tombstones to the batch's touched buckets) should do so before calling.
     """
     ts, off = order_cols
     latest = tombstones.groupBy(key).agg(
         F.max(F.struct(F.col(ts).alias("ts"), F.col("log_offset").alias("off"))).alias("_tomb")
     )
-    j = incoming.join(F.broadcast(latest), key, "left")
+    j = incoming.join(latest, key, "left")
     keep = F.col("_tomb").isNull() | (
         F.struct(F.col(ts).alias("ts"), F.col(off).alias("off")) > F.col("_tomb")
     )

@@ -75,10 +75,10 @@ def lww_dedup_semi(
     df: DataFrame,
     key: str = "url",
     order_cols: tuple[str, ...] = DEFAULT_ORDER,
-    broadcast_keys: bool = True,
+    broadcast_keys: bool | None = None,
 ) -> DataFrame:
     """Payload-light LWW: argmax over the ordering keys only, then fetch the
-    winning rows back with a (broadcast) semi-join.
+    winning rows back with a semi-join.
 
     The default :func:`lww_dedup` shuffles every event's full payload (html
     blobs!); this variant shuffles only ``(key, order_cols)`` (~40 bytes/row)
@@ -88,16 +88,38 @@ def lww_dedup_semi(
     cluster scale it is the difference between shuffling 100 TB and
     shuffling 400 GB.
 
-    ``broadcast_keys=True`` broadcasts the winner-key set (bounded by the
-    micro-batch's distinct keys); set False to fall back to a shuffled join
-    when a batch has too many distinct keys to broadcast.
+    ``broadcast_keys``: ``None`` (default) leaves the join strategy to
+    Catalyst/AQE, which broadcasts iff the runtime size of the winner-key
+    set is under ``spark.sql.autoBroadcastJoinThreshold`` — a bulk replay
+    with 10^9 distinct keys gets a shuffled hash join instead of a driver
+    OOM.  ``True``/``False`` force the choice for tests.
     """
     order_struct = _order_struct(order_cols)
     keys = df.groupBy(key).agg(F.max(order_struct).alias("_w"))
-    keys = F.broadcast(keys) if broadcast_keys else keys
+    if broadcast_keys is True:
+        keys = F.broadcast(keys)
+    elif broadcast_keys is False:
+        keys = keys.hint("shuffle_hash")
     matched = df.join(keys, key).filter(order_struct == F.col("_w")).drop("_w")
     # exact duplicate deliveries share (key, order_cols); collapse them
     return lww_dedup(matched, key=key, order_cols=order_cols)
+
+
+def lww_first(
+    df: DataFrame,
+    key: str = "url",
+    order_cols: tuple[str, ...] = DEFAULT_ORDER,
+) -> DataFrame:
+    """First-writer-wins: the min_by twin of :func:`lww_dedup`.
+
+    Orders on the native column values (full timestamp precision — no
+    unix_timestamp truncation), so Spark and a SQL oracle ordering by the
+    same columns agree even on same-second, different-microsecond events.
+    """
+    payload = [c for c in df.columns if c != key]
+    winner = F.min_by(F.struct(*payload), _order_struct(order_cols)).alias("w")
+    out = df.groupBy(key).agg(winner)
+    return out.select(key, *[F.col(f"w.{c}").alias(c) for c in payload])
 
 
 def lww_dedup_window(

@@ -45,22 +45,66 @@ def origin_trust_merge(
     primary_col: str | None = None,
     offset_col: str | None = None,
 ) -> DataFrame:
-    """One winner row per key: max priority, then the equalTrustFallback
-    cascade (primary flag, latest modtime, longer content, max offset).
+    """One winner row per key, faithful to the reference cascade
+    (_getBestOrigin merger.py:286-309 + equalTrustFallback merger.py:320-339):
 
-    Implemented as ``max_by`` over a composite ordering struct — associative,
-    partial-agg friendly (unlike the window formulation).
+    1. non-empty content beats empty content (merger.py:288-289)
+    2. higher origin priority wins (merger.py:295-309)
+    3. primary flag (merger.py:321-325)
+    4. **same-origin** ties: latest modtime (merger.py:327-331)
+    5. cross-origin equal-priority ties: longer content, then latest
+       modtime (merger.py:332-337)
+    6. deterministic last resort: max offset (the reference returns an
+       arbitrary one, merger.py:338-339 — we determinize)
+
+    The same-origin-vs-cross-origin asymmetry (step 4 before step 5 only
+    within one origin) is not a single total order, so this runs as TWO
+    associative ``max_by`` phases — each partial-agg friendly, both
+    skew-safe:
+
+    - phase 1 per ``(key, origin)``: struct(has_content, primary, modtime,
+      content_length, offset) — within one origin modtime outranks length;
+    - phase 2 per ``key`` over origin champions: struct(has_content,
+      priority, primary, content_length, modtime, offset) — across origins
+      length outranks modtime, per the reference.
+
+    The reference's pairwise pop-order fold is non-associative when three
+    or more origins tie; this decomposition agrees with it on every
+    pairwise comparison and determinizes the rest.
     """
-    order_fields = [priority_expr(origin_col, priority_map).alias("p")]
-    if primary_col:
-        order_fields.append(F.coalesce(F.col(primary_col).cast("int"), F.lit(0)).alias("prim"))
-    order_fields.append(F.col(modtime_col).alias("mt"))
-    order_fields.append(F.coalesce(F.length(F.col(content_col)), F.lit(0)).alias("clen"))
-    if offset_col:
-        order_fields.append(F.col(offset_col).alias("off"))
     payload = [c for c in df.columns if c != key]
-    out = df.groupBy(key).agg(
-        F.max_by(F.struct(*payload), F.struct(*order_fields)).alias("w")
+    has_content = (F.coalesce(F.length(F.col(content_col)), F.lit(0)) > 0).cast("int")
+    prim = (
+        F.coalesce(F.col(primary_col).cast("int"), F.lit(0))
+        if primary_col
+        else F.lit(0)
+    )
+    clen = F.coalesce(F.length(F.col(content_col)), F.lit(0))
+    off = F.col(offset_col) if offset_col else F.lit(0)
+
+    intra = F.struct(
+        has_content.alias("hc"),
+        prim.alias("prim"),
+        F.col(modtime_col).alias("mt"),
+        clen.alias("clen"),
+        off.alias("off"),
+    )
+    champions = (
+        df.groupBy(key, origin_col)
+        .agg(F.max_by(F.struct(*payload), intra).alias("w"))
+        .select(key, *[F.col(f"w.{c}").alias(c) for c in payload])
+    )
+
+    inter = F.struct(
+        has_content.alias("hc"),
+        priority_expr(origin_col, priority_map).alias("p"),
+        prim.alias("prim"),
+        clen.alias("clen"),
+        F.col(modtime_col).alias("mt"),
+        off.alias("off"),
+    )
+    out = champions.groupBy(key).agg(
+        F.max_by(F.struct(*payload), inter).alias("w")
     )
     return out.select(key, *[F.col(f"w.{c}").alias(c) for c in payload])
 

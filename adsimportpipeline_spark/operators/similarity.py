@@ -12,8 +12,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.textstats import portable_hash
-
 
 def dot_expr(a: str, b: str) -> Column:
     prods = F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double"))
@@ -64,13 +62,23 @@ def brute_force_topk(
     )
 
 
+def plane_weight(plane: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    md5-derived (same 15-hex-digit scheme as textstats.portable_hash), so
+    Spark and the SQL oracle share the exact double constant."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 1000) / 1000.0 - 0.5
+
+
 def hyperplane_expr(vec_col: str, plane: int, dim: int) -> Column:
-    """Sign bit of <v, h_plane> where h_plane is a deterministic pseudo-random
-    hyperplane: h[d] = portable_hash('plane:d') scaled to [-0.5, 0.5].
-    Reproducible bit-for-bit in SQL for the oracle."""
+    """Sign bit of <v, h_plane>.  The dot product is a left-associated sum of
+    per-dimension products (float element cast to double exactly), mirrored
+    term-for-term by :func:`hyperplane_sql` so the sign bit — and hence the
+    bucket id — is bit-identical in both engines."""
     comps = [
-        F.col(vec_col)[d].cast("double")
-        * ((portable_hash(F.lit(f"{plane}:{d}")) % 1000).cast("double") / 1000.0 - 0.5)
+        F.col(vec_col)[d].cast("double") * F.lit(plane_weight(plane, d))
         for d in range(dim)
     ]
     s = comps[0]
@@ -79,12 +87,30 @@ def hyperplane_expr(vec_col: str, plane: int, dim: int) -> Column:
     return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
+def hyperplane_sql(vec_expr: str, plane: int, dim: int) -> str:
+    """SQL twin of :func:`hyperplane_expr` (``vec_expr`` is a DOUBLE[] with
+    1-based indexing); left-associated sum with repr-exact weight literals."""
+    terms = " + ".join(
+        f"{vec_expr}[{d + 1}] * ({plane_weight(plane, d)!r})" for d in range(dim)
+    )
+    return f"CASE WHEN ({terms}) >= 0 THEN 1 ELSE 0 END"
+
+
 def lsh_bucket(vec_col: str, n_planes: int, dim: int) -> Column:
     """Random-hyperplane LSH bucket id (concatenated sign bits)."""
     bucket = F.lit(0)
     for p in range(n_planes):
         bucket = bucket + hyperplane_expr(vec_col, p, dim) * F.lit(2**p)
     return bucket.cast("int")
+
+
+def lsh_bucket_sql(vec_expr: str, n_planes: int, dim: int) -> str:
+    """SQL twin of :func:`lsh_bucket`."""
+    return (
+        "CAST("
+        + " + ".join(f"({hyperplane_sql(vec_expr, p, dim)}) * {2 ** p}" for p in range(n_planes))
+        + " AS INTEGER)"
+    )
 
 
 def lsh_ann_topk(

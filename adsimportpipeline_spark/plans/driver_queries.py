@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.html import extract_text_sql, html_to_text
 from ..functions.textstats import (
     bpe_ish_token_count,
     bpe_ish_token_count_sql,
@@ -94,10 +95,8 @@ def q_changed_records(spark, sf_dir):
     state)."""
     ev = _t(spark, sf_dir, "events").withColumn("fingerprint", F.md5(F.coalesce("props", F.lit(""))))
     sel = ev.select("user_id", "ts", "event_id", "fingerprint")
-    stored = lww.lww_dedup(
-        sel.withColumn("_neg_id", -F.col("event_id")).withColumn("_neg_ts", -F.unix_timestamp("ts")),
-        key="user_id",
-        order_cols=("_neg_ts", "_neg_id"),
+    stored = lww.lww_first(
+        sel, key="user_id", order_cols=("ts", "event_id")
     ).select("user_id", "fingerprint")
     incoming = lww.lww_dedup(sel, key="user_id", order_cols=("ts", "event_id"))
     out = cdc.changed_records(incoming, stored, key="user_id")
@@ -212,8 +211,9 @@ FROM events GROUP BY user_id
 
 def q_origin_trust_merge(spark, sf_dir):
     """A3+A4: priority-max fold with the equalTrustFallback cascade
-    (merger.py:286-339): priority desc, modtime desc, content length desc,
-    offset desc."""
+    (merger.py:286-339), two-phase: same-origin ties resolve by latest
+    modtime first; cross-origin equal-priority ties resolve by content
+    length before modtime — exactly the reference's asymmetric cascade."""
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value", "props")
     out = merge_rules.origin_trust_merge(
         ev,
@@ -228,11 +228,19 @@ def q_origin_trust_merge(spark, sf_dir):
 
 
 _ORIGIN_TRUST_SQL = f"""
+WITH champions AS (
+  SELECT user_id, ts, event_id, event_type, value, props FROM (
+    SELECT user_id, ts, event_id, event_type, value, props,
+           row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY (coalesce(length(props),0) > 0) DESC, ts DESC,
+                      coalesce(length(props),0) DESC, event_id DESC) rn
+    FROM events) WHERE rn = 1)
 SELECT user_id, event_id, event_type, value FROM (
   SELECT user_id, event_id, event_type, value,
          row_number() OVER (PARTITION BY user_id
-           ORDER BY {_PRIO_SQL} DESC, ts DESC, coalesce(length(props),0) DESC, event_id DESC) rn
-  FROM events) WHERE rn = 1
+           ORDER BY (coalesce(length(props),0) > 0) DESC, {_PRIO_SQL} DESC,
+                    coalesce(length(props),0) DESC, ts DESC, event_id DESC) rn
+  FROM champions) WHERE rn = 1
 """
 
 
@@ -377,11 +385,7 @@ def q_first_writer_wins(spark, sf_dir):
     """S1 dup policy: priority-ordered feed, first writer wins per key
     (run.py:34-62 OrderedDict setdefault)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "props")
-    out = lww.lww_dedup(
-        ev.withColumn("_neg_ts", -F.unix_timestamp("ts")).withColumn("_neg_id", -F.col("event_id")),
-        key="user_id",
-        order_cols=("_neg_ts", "_neg_id"),
-    )
+    out = lww.lww_first(ev, key="user_id", order_cols=("ts", "event_id"))
     return out.select("user_id", F.col("event_id").alias("first_event_id"), F.col("props").alias("first_props"))
 
 
@@ -812,7 +816,8 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (scale path; rows-only check)."""
+    """LSH-bucketed approximate top-k (the 100 TB scale path): score only
+    vectors sharing the query's random-hyperplane bucket."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -820,12 +825,29 @@ def q_lsh_ann_topk(spark, sf_dir):
     return similarity.lsh_ann_topk(emb, queries, k=5, n_planes=4, dim=64)
 
 
+_LSH_ANN_SQL = f"""
+WITH eb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {similarity.lsh_bucket_sql('(embedding::DOUBLE[])', 4, 64)} AS bkt
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM eb WHERE vec_id % 97 = 0)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.query_id, eb.vec_id,
+         round(list_cosine_similarity(q.qv, eb.v), 6) AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(q.qv, eb.v), 6) DESC, eb.vec_id ASC) AS rank
+  FROM eb JOIN q ON eb.bkt = q.bkt) WHERE rank <= 5
+"""
+
+
 # =====================================================================
-# Oracle-less plans: multimodal plumbing + CDC flagship
+# Multimodal plumbing + CDC flagship
 # =====================================================================
 
 def q_multimodal_decode(spark, sf_dir):
-    """Binary media decode/featurize plumbing (mapInPandas; stubbed codec)."""
+    """Binary media decode/featurize plumbing (mapInPandas; stubbed codec).
+    The stub's dimensions are a pure function of the byte length, so the
+    metadata projection has an exact SQL oracle."""
     from ..functions.multimodal import decode_and_featurize
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -835,14 +857,77 @@ def q_multimodal_decode(spark, sf_dir):
     return out.select("doc_id", "media_type", "width", "height", "n_bytes")
 
 
-def q_cdc_final_state(spark, sf_dir):
-    """Flagship: synthetic CDC log -> LWW -> tombstone-filtered final state
-    with vectorized HTML->text extraction (md5 pins byte-identity)."""
-    from ..datagen import GenSpec, generate_change_log
-    from ..functions.html import html_to_text
+_MM_LEN = "octet_length(encode(coalesce(text, '')))"
+_MULTIMODAL_SQL = f"""
+SELECT doc_id, 'image' AS media_type,
+       CAST({_MM_LEN} % 5 + 2 AS INTEGER) AS width,
+       CAST({_MM_LEN} % 7 + 2 AS INTEGER) AS height,
+       CAST({_MM_LEN} AS BIGINT) AS n_bytes
+FROM documents
+"""
 
-    events = generate_change_log(spark, GenSpec(n_events=20_000, n_urls=1_500, seed=42))
-    winners = lww.lww_dedup(events, key="url")
+
+# ---------------------------------------------------------------------
+# Flagship: CDC change stream derived deterministically from the shared
+# `events` table (url/op/html are pure column functions of each event), so
+# the whole pipeline — LWW dedup, delete handling, HTML->text extraction —
+# has an exact DuckDB oracle.  The richer generator-based replay (hot-url
+# skew, duplicate deliveries, resurrection attempts) is exercised
+# end-to-end against the pure-Python oracle in tests/test_e2e_replay.py.
+# ---------------------------------------------------------------------
+
+def change_stream_from_events(spark, sf_dir) -> DataFrame:
+    """Map the shared events table onto the CDC envelope: change events
+    (upsert/delete) keyed by url, ordered by (warc_ts, log_offset), with a
+    synthesized HTML payload (tags, entities, script/style noise)."""
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    eid = F.col("event_id").cast("string")
+    pr = F.coalesce(F.col("props"), F.lit(""))
+    body = F.concat(
+        F.lit("<html><head><title>u"), uid,
+        F.lit("</title><style>p{color:red}</style></head><body><h1>Ev "), eid,
+        F.lit("</h1><p>"), pr,
+        F.lit(" &amp; payload "), F.md5(F.concat(uid, F.lit(":"), pr)),
+        F.lit("</p><script>var x=1;</script></body></html>"),
+    )
+    return ev.select(
+        F.concat(F.lit("https://site.test/"), uid).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").alias("log_offset"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.encode(body, "utf-8").alias("html"),
+        F.col("event_type").alias("lang"),
+    )
+
+
+_CHANGE_BODY_SQL = (
+    "'<html><head><title>u' || user_id::VARCHAR || "
+    "'</title><style>p{color:red}</style></head><body><h1>Ev ' || event_id::VARCHAR || "
+    "'</h1><p>' || coalesce(props, '') || "
+    "' &amp; payload ' || md5(user_id::VARCHAR || ':' || coalesce(props, '')) || "
+    "'</p><script>var x=1;</script></body></html>'"
+)
+
+_CHANGE_CTE = f"""
+changes AS (
+  SELECT 'https://site.test/' || user_id::VARCHAR AS url,
+         ts AS warc_ts,
+         event_id AS log_offset,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         {_CHANGE_BODY_SQL} AS body,
+         event_type AS lang
+  FROM events)
+"""
+
+
+def q_cdc_final_state(spark, sf_dir):
+    """Flagship: change stream -> LWW dedup -> delete filtering -> vectorized
+    HTML->text extraction (md5 pins byte-identity per url)."""
+    changes = change_stream_from_events(spark, sf_dir)
+    winners = lww.lww_dedup(changes, key="url", order_cols=("warc_ts", "log_offset"))
     final = winners.filter(F.col("op") != "delete")
     return final.select(
         "url",
@@ -850,6 +935,41 @@ def q_cdc_final_state(spark, sf_dir):
         "log_offset",
         "lang",
         F.md5(html_to_text(F.col("html"))).alias("text_md5"),
+    )
+
+
+_CDC_FINAL_SQL = f"""
+WITH {_CHANGE_CTE},
+winners AS (
+  SELECT url, warc_ts, log_offset, op, body, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url
+      ORDER BY warc_ts DESC, log_offset DESC) AS rn FROM changes) WHERE rn = 1)
+SELECT url, warc_ts, log_offset, lang,
+       md5({extract_text_sql('body')}) AS text_md5
+FROM winners WHERE op <> 'delete'
+"""
+
+
+def q_cdc_apply_replay(spark, sf_dir):
+    """END-TO-END apply-path check: replay the events-derived change log as
+    one micro-batch through apply_batch into a fresh LakeTable (LWW dedup,
+    tombstone audit, stale filter, copy-on-write commit), then read the
+    committed final state back.  Same oracle shape as the flagship — the
+    oracle verifies the *storage engine*, not just the expression."""
+    import tempfile
+
+    from ..apply import apply_batch, pages_schema_for
+    from ..lake.table import LakeTable
+
+    changes = change_stream_from_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc-apply-oracle-")
+    table = LakeTable.create(
+        spark, root, pages_schema_for(changes.schema), n_buckets=16
+    )
+    apply_batch(table, changes, batch_id=0, prune_buckets=False)
+    final = table.read()
+    return final.select(
+        "url", "warc_ts", "log_offset", "lang", F.md5(F.col("text")).alias("text_md5")
     )
 
 
@@ -897,6 +1017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "multimodal_decode": q_multimodal_decode,
     "cdc_final_state": q_cdc_final_state,
+    "cdc_apply_replay": q_cdc_apply_replay,
 }
 
 ORACLES: dict[str, str] = {
@@ -936,5 +1057,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": _DOC_FP_SQL,
     "ann_topk": _ANN_SQL,
     "embedding_near_dups": _EMB_DUP_SQL,
-    # lsh_ann_topk, multimodal_decode, cdc_final_state: rows-only checks
+    "lsh_ann_topk": _LSH_ANN_SQL,
+    "multimodal_decode": _MULTIMODAL_SQL,
+    "cdc_final_state": _CDC_FINAL_SQL,
+    "cdc_apply_replay": _CDC_FINAL_SQL,
 }

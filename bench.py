@@ -2,18 +2,29 @@
 query timings.
 
 Prints ONE JSON line:
-  {"metric": "change_events_per_sec", "value": <events/sec at high
-   parallelism>, "unit": "events/sec", "queries": {name: sec, ...},
+  {"metric": "change_events_per_sec", "value": <median events/sec at 4N
+   cores>, "unit": "events/sec", "queries": {name: sec, ...},
    "sf": <sf>, "scaling": {...}}
 
 Scaling evidence for the north_rule's two-cluster-size criterion: the
 identical replay job runs pinned (sched_setaffinity, set before the JVM
 spawns so every JVM/python-worker thread inherits it) to N and 4N CPUs on
-the same input; efficiency = (thr_4N / thr_N) / 4, target >= 0.8.  Each
-level runs multiple trials and keeps the best — this sandbox VM measurably
-loses CPU to hypervisor steal in bursts (observed 3-4 cores' worth), so the
-best trial is the closest observation of true engine throughput.  Results
-also land in BENCH/BASELINE.md.
+the same input.
+
+Measurement protocol (this sandbox VM shares a host: throughput drifts
++/-15% with neighbor load and hypervisor steal arrives in bursts):
+
+- trials run as INTERLEAVED (4N, N) pairs, so ambient slowdowns hit both
+  levels of a pair roughly equally and mostly cancel in the ratio;
+- per-pair efficiency = (thr_4N / thr_N) / 4; the headline
+  ``strong_efficiency`` is the MEDIAN over pairs (not best-of);
+- /proc/stat steal ticks are recorded around every pair; a pair whose
+  steal exceeds 5% of its wall-clock is marked contaminated and excluded
+  from the median when at least two clean pairs remain;
+- weak scaling (N cores on 1/4 the events vs 4N on the full input — the
+  proxy for cluster scale-out where every added node brings its own
+  memory bandwidth and L3) is reported SEPARATELY, never merged into the
+  headline number.
 """
 
 from __future__ import annotations
@@ -21,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -38,7 +50,7 @@ SF = float(SF_DIR.rstrip("/").split("sf")[-1])
 #: (cluster deployments write to node-local NVMe / object storage)
 SCRATCH = "/dev/shm/bench" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
-#: replay size scales with sf; sf0.1 -> 16M events over 800k urls.  Sized so
+#: replay size scales with sf; sf0.1 -> 8M events over 400k urls.  Sized so
 #: the parallel fraction dominates the fixed per-job driver overhead (Amdahl)
 N_EVENTS = max(int(80_000_000 * SF), 200_000)
 N_URLS = max(int(4_000_000 * SF), 10_000)
@@ -46,40 +58,33 @@ N_URLS = max(int(4_000_000 * SF), 10_000)
 #: N and 4N: within this VM's effective (non-stolen) core allocation
 N_LOW = max(min(CPUS // 4, 2), 1)
 N_HIGH = N_LOW * 4
-#: hypervisor steal arrives in bursts; more trials on the cheap fast runs
-#: make best-of-trials robust without blowing the bench time budget
-TRIALS = 2        # strong-low (the slow run: N cores, full input)
-TRIALS_FAST = 3   # strong-high and weak-low (fast runs)
+PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3"))
+WEAK_TRIALS = 2
 
-#: overall wall budget (sec): extra trials are dropped once exceeded so the
+#: overall wall budget (sec): extra pairs are dropped once exceeded so the
 #: bench always emits its JSON line instead of dying to an outer timeout
 BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
 _START = time.time()
 
 
-def _over_budget() -> bool:
-    return time.time() - _START > BUDGET_SEC
+def _over_budget(reserve: float = 0.0) -> bool:
+    return time.time() - _START > BUDGET_SEC - reserve
 
-
-def _trials(n: int, fn) -> float:
-    best = fn()  # always at least one
-    for _ in range(n - 1):
-        if _over_budget():
-            break
-        best = max(best, fn())
-    return best
 
 HEADLINE = [
     "cdc_final_state",
+    "cdc_apply_replay",
     "lww_latest",
     "lww_latest_salted",
     "origin_trust_merge",
+    "record_merge",
     "pricing_summary",
     "top_revenue_orders",
     "semi_join_lookup",
     "doc_minhash_pairs",
     "doc_simhash",
     "ann_topk",
+    "lsh_ann_topk",
 ]
 
 
@@ -117,11 +122,12 @@ def replay_child(cores: int, log_path: str, n_events: int) -> None:
     table = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=128)
     df = read_change_log(spark, log_path)
     t0 = time.time()
-    apply_batch(table, df, batch_id=0, prune_buckets=False)
+    stats = apply_batch(table, df, batch_id=0, prune_buckets=False)
     wall = time.time() - t0
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
-    print(json.dumps({"events_per_sec": n_events / wall, "wall_sec": wall}))
+    print(json.dumps({"events_per_sec": n_events / wall, "wall_sec": wall,
+                      "phases": stats.get("phases", {})}))
 
 
 def _run_child(cores: int, log_path: str, n_events: int) -> float:
@@ -172,54 +178,97 @@ def main() -> None:
         )
     gen_spark.stop()
 
-    # --- scaling, pinned to N and 4N CPUs, best of TRIALS ---------------
-    # strong scaling: identical input at both levels (single-box; all cores
-    # share one memory bus — the pessimistic bound).
-    # weak scaling: per-core load held constant (N cores on 1/4 the events)
-    # — the faithful proxy for cluster scale-out, where every added executor
-    # node brings its own memory bandwidth and local disks.
-    steal0 = _steal_ticks()
-    thr_high = _trials(TRIALS_FAST, lambda: _run_child(N_HIGH, log_path, N_EVENTS))
-    thr_low_weak = _trials(TRIALS_FAST, lambda: _run_child(N_LOW, small_log_path, n_small))
-    thr_low = _trials(TRIALS, lambda: _run_child(N_LOW, log_path, N_EVENTS))
-    steal1 = _steal_ticks()
-    efficiency = (thr_high / thr_low) / ratio
-    weak_efficiency = (thr_high / thr_low_weak) / ratio
+    # --- strong scaling: interleaved (4N, N) pairs, median of ratios ----
+    pairs: list[dict] = []
+    for i in range(PAIRS):
+        if pairs and _over_budget(reserve=150):
+            break
+        s0, t0 = _steal_ticks(), time.time()
+        thr_h = _run_child(N_HIGH, log_path, N_EVENTS)
+        thr_l = _run_child(N_LOW, log_path, N_EVENTS)
+        wall, steal_sec = time.time() - t0, (_steal_ticks() - s0) / 100.0
+        pairs.append(
+            {
+                "events_per_sec_high": round(thr_h, 1),
+                "events_per_sec_low": round(thr_l, 1),
+                "efficiency": round((thr_h / thr_l) / ratio, 3),
+                "steal_sec": round(steal_sec, 1),
+                "contaminated": steal_sec > 0.05 * wall,
+            }
+        )
+    clean = [p for p in pairs if not p["contaminated"]]
+    basis = clean if len(clean) >= 2 else pairs
+    strong_eff = statistics.median(p["efficiency"] for p in basis)
+    thr_high_med = statistics.median(p["events_per_sec_high"] for p in basis)
+    thr_low_med = statistics.median(p["events_per_sec_low"] for p in basis)
+
+    # --- weak scaling: N cores on 1/4 events (reported separately) ------
+    weak_lows = []
+    for _ in range(WEAK_TRIALS):
+        if weak_lows and _over_budget(reserve=90):
+            break
+        weak_lows.append(_run_child(N_LOW, small_log_path, n_small))
+    weak_low_med = statistics.median(weak_lows)
+    weak_eff = (thr_high_med / weak_low_med) / ratio
 
     # --- headline queries at full parallelism ---------------------------
     spark = _fresh_spark(CPUS, "bench-queries")
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name not in QUERIES:
+            continue
         t0 = time.time()
         df = QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    # --- LSH-ANN recall@5 vs the exact brute-force top-k ----------------
+    recall = None
+    try:
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in QUERIES["ann_topk"](spark, SF_DIR).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in QUERIES["lsh_ann_topk"](spark, SF_DIR).collect()
+        }
+        recall = round(len(exact & approx) / max(len(exact), 1), 3)
+    except Exception:
+        pass
     spark.stop()
 
     result = {
         "metric": "change_events_per_sec",
-        "value": round(thr_high, 1),
+        "value": round(thr_high_med, 1),
         "unit": "events/sec",
         "queries": timings,
         "sf": SF,
         "replay_events": N_EVENTS,
         "replay_urls": N_URLS,
+        "lsh_ann_recall_at_5": recall,
         "scaling": {
             "cores_low": N_LOW,
             "cores_high": N_HIGH,
-            "events_per_sec_low": round(thr_low, 1),
-            "events_per_sec_high": round(thr_high, 1),
-            "strong_efficiency": round(efficiency, 3),
-            "weak_events_per_sec_low": round(thr_low_weak, 1),
-            "weak_efficiency": round(weak_efficiency, 3),
-            "efficiency": round(max(efficiency, weak_efficiency), 3),
-            "trials": TRIALS,
-            "hypervisor_steal_ticks_during_bench": steal1 - steal0,
+            "events_per_sec_low": round(thr_low_med, 1),
+            "events_per_sec_high": round(thr_high_med, 1),
+            "strong_efficiency": round(strong_eff, 3),
+            "weak_events_per_sec_low": round(weak_low_med, 1),
+            "weak_efficiency": round(weak_eff, 3),
+            # headline: the strong (same-input) number — the honest one
+            "efficiency": round(strong_eff, 3),
+            "pairs": pairs,
+            "protocol": "median over interleaved (4N,N) pairs; steal-contaminated pairs excluded",
         },
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        pair_rows = "".join(
+            f"| {i + 1} | {p['events_per_sec_high']:,.0f} | {p['events_per_sec_low']:,.0f} "
+            f"| {p['efficiency']:.3f} | {p['steal_sec']}{' (excluded)' if p['contaminated'] else ''} |\n"
+            for i, p in enumerate(pairs)
+        )
         f.write(
             "# BENCH — CDC replay scaling evidence\n\n"
             "Same job (full change-log replay into a fresh lake table: LWW dedup +\n"
@@ -227,28 +276,25 @@ def main() -> None:
             f"input ({N_EVENTS:,} events, {N_URLS:,} urls, seed 42 — including the\n"
             "generator's hot-url skew: ~10% of ALL events hit a single url, handled\n"
             "by the payload-light argmax whose partial aggregation pre-reduces the\n"
-            "hot key map-side), process pinned by\n"
-            "sched_setaffinity to N / 4N CPUs before JVM spawn, best of "
-            f"{TRIALS} trials:\n\n"
-            "| mode | pinned CPUs | events | events/sec |\n|---|---|---|---|\n"
-            f"| strong | {N_LOW} | {N_EVENTS:,} | {thr_low:,.0f} |\n"
-            f"| strong | {N_HIGH} | {N_EVENTS:,} | {thr_high:,.0f} |\n"
-            f"| weak | {N_LOW} | {n_small:,} | {thr_low_weak:,.0f} |\n"
-            f"| weak | {N_HIGH} | {N_EVENTS:,} | {thr_high:,.0f} |\n\n"
-            f"- **Weak-scaling efficiency N->4N: {weak_efficiency:.3f}** (north_rule\n"
-            "  target >= 0.8).  Weak scaling holds per-core load constant — the\n"
-            "  faithful sandbox proxy for adding executors to a cluster, where each\n"
-            "  added node brings its own memory bandwidth and local disks.\n"
-            f"- Strong-scaling efficiency (same input, one shared memory bus):\n"
-            f"  {efficiency:.3f}.  The gap to weak scaling is the single box's\n"
-            "  memory-bandwidth ceiling: ALU-bound Spark jobs measured on this VM\n"
-            "  scale at ~0.85, byte-moving jobs cap near ~0.65 regardless of\n"
-            "  strategy — a machine property, not an engine property.\n\n"
-            "Environment note: this sandbox VM loses CPU to hypervisor steal in\n"
-            f"bursts ({steal1 - steal0} /proc/stat steal ticks observed during the\n"
-            "bench window); best-of-trials is reported as the closest observation\n"
-            "of true engine throughput.\n\n"
-            f"Headline query timings at sf={SF} on local[{CPUS}]:\n\n"
+            "hot key map-side), process pinned by sched_setaffinity to N / 4N CPUs\n"
+            "before JVM spawn.\n\n"
+            "Protocol: interleaved (4N, N) pairs, per-pair efficiency ratio,\n"
+            "headline = MEDIAN over pairs; pairs with hypervisor steal > 5% of\n"
+            "their wall-clock are excluded (this VM shares a host).\n\n"
+            f"| pair | events/sec @ {N_HIGH} CPUs | events/sec @ {N_LOW} CPUs | efficiency | steal (s) |\n"
+            "|---|---|---|---|---|\n"
+            + pair_rows
+            + f"\n- **Strong-scaling efficiency N={N_LOW} -> 4N={N_HIGH} (median): "
+            f"{strong_eff:.3f}** (north_rule target >= 0.8; same input at both\n"
+            "  levels — all cores share one memory bus and L3, the pessimistic\n"
+            "  bound for a real cluster where 4N executors mean 4x the memory\n"
+            "  bandwidth).\n"
+            f"- Weak-scaling efficiency (per-core load constant, {n_small:,} events\n"
+            f"  at {N_LOW} CPUs vs {N_EVENTS:,} at {N_HIGH}): {weak_eff:.3f} — the\n"
+            "  faithful sandbox proxy for adding executor NODES, reported\n"
+            "  separately, never merged into the headline.\n"
+            + (f"- LSH-ANN recall@5 vs exact brute-force top-k: {recall}\n" if recall is not None else "")
+            + f"\nHeadline query timings at sf={SF} on local[{CPUS}]:\n\n"
             "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in timings.items())
         )

@@ -63,6 +63,7 @@ def apply_batch(
     merge_partitions: int | None = None,
     dedup_strategy: str = "semi",
     prune_buckets: bool = True,
+    compact_appends_every: int = 32,
 ) -> dict:
     """Apply one micro-batch of change events. Returns stats. Idempotent:
     re-delivery of an already-committed batch_id is a no-op."""
@@ -217,6 +218,13 @@ def apply_batch(
             lineage_appends=lineage_df,
         )
         _mark("commit_write")
+        # periodic fold of the append-only tombstone/lineage branches keeps
+        # per-batch guard reads and the manifest O(1) over the table's
+        # lifetime (its own atomic commit; a crash between the two commits
+        # loses only the fold, never data)
+        if compact_appends_every and batch_id % compact_appends_every == compact_appends_every - 1:
+            table.compact_appends()
+            _mark("compact_appends")
         return {
             "batch_id": batch_id,
             "skipped": False,

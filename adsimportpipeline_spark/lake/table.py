@@ -286,3 +286,61 @@ class LakeTable:
             bucket_ids = [int(b) for b in m["buckets"]]
         data = self.read_buckets(bucket_ids, m)
         return self.overwrite_buckets(data, bucket_ids, new_schema=self.schema(m))
+
+    def compact_appends(self) -> int:
+        """Fold the append-only tombstone/lineage branches — one file per
+        micro-batch otherwise — into a single file each (Iceberg
+        rewrite_manifests + position-delete compaction analog).  Without
+        this, N micro-batches mean N tombstone files re-read by EVERY
+        subsequent batch's resurrection guard and an O(N) manifest; with
+        periodic folding both stay O(1).  Contents are preserved exactly
+        (the audit log is a distinct set; folding does not dedup rows)."""
+        m = self.manifest()
+        for branch, tag in (("tombstone_files", "tomb"), ("lineage_files", "lin")):
+            paths = [e["path"] for e in m[branch]]
+            if len(paths) <= 1:
+                continue
+            df = self.spark.read.parquet(*paths).repartition(1)
+            d = self._write_data_dir(df, f"{tag}c")
+            m[branch] = [
+                {"path": p, "schema_id": m["current_schema_id"]}
+                for p in self._parquet_files(d)
+            ]
+        m["version"] = m["version"] + 1
+        return self._commit_manifest(m)
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Drop manifests older than the newest ``keep_last`` and delete
+        data/tombstone/lineage files no retained manifest references
+        (Iceberg expire_snapshots + orphan-file cleanup).  Bounds on-disk
+        growth of a long-lived table at the cost of time travel beyond
+        ``keep_last`` versions."""
+        current = self.current_version()
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        versions = sorted(
+            int(f[1:9]) for f in os.listdir(mdir) if f.startswith("v")
+        )
+        retained = [v for v in versions if v > current - keep_last]
+        expired = [v for v in versions if v <= current - keep_last]
+        live: set[str] = set()
+        for v in retained:
+            m = self.manifest(v)
+            for es in m["buckets"].values():
+                live.update(e["path"] for e in es)
+            live.update(e["path"] for e in m["tombstone_files"])
+            live.update(e["path"] for e in m["lineage_files"])
+        # referenced-by-expired-only files are garbage
+        for v in expired:
+            m = self.manifest(v)
+            dead: set[str] = set()
+            for es in m["buckets"].values():
+                dead.update(e["path"] for e in es)
+            dead.update(e["path"] for e in m["tombstone_files"])
+            dead.update(e["path"] for e in m["lineage_files"])
+            for p in dead - live:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            os.remove(self._manifest_path(v))
+        return expired

@@ -20,7 +20,7 @@ reproduce every signature bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import content_fingerprint, portable_hash
@@ -73,15 +73,9 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", k: int = 8, band_size: int = 2
-) -> DataFrame:
-    """Band the signature; docs sharing any band bucket become candidates.
-
-    The band self-join shuffles on the bucket value — at 100 TB this is the
-    standard LSH join; extremely hot buckets (boilerplate pages) can be
-    salted or capped upstream.
-    """
+def _banded_buckets(sigs: DataFrame, id_col: str, k: int, band_size: int) -> DataFrame:
+    """(id, bucket) rows: one row per (doc, band), bucket = hash of the
+    band's signature slice."""
     n_bands = k // band_size
     bands = [
         F.md5(
@@ -94,10 +88,52 @@ def lsh_candidate_pairs(
         for b in range(n_bands)
     ]
     banded = sigs.select(F.col(id_col), *bands)
-    stacked = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias("bucket"),
     )
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 8, band_size: int = 2,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Audit surface for the bucket cap: (bucket, members, dropped).  Run it
+    alongside a capped :func:`lsh_candidate_pairs` so caps are never silent —
+    ``dropped`` buckets are exactly those the pair join skipped."""
+    counts = _banded_buckets(sigs, id_col, k, band_size).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("members")
+    )
+    dropped = (
+        (F.col("members") > bucket_cap) if bucket_cap is not None else F.lit(False)
+    )
+    return counts.select("bucket", "members", dropped.alias("dropped"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 8, band_size: int = 2,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidates.
+
+    The band self-join shuffles on the bucket value — at 100 TB this is the
+    standard LSH join.  ``bucket_cap`` is the standard LSH hygiene against
+    boilerplate explosions: a bucket with more than ``bucket_cap`` members
+    (identical cookie banners, empty pages) would contribute O(members^2)
+    candidate pairs, so it is excluded from the join entirely.  Capped
+    buckets are observable via :func:`lsh_bucket_stats` — never silent.
+    The cap is sound for *near-dup detection* because a true near-dup pair
+    in a mega-bucket almost always shares another, smaller band bucket;
+    exact-dup collapse is exact-hash groupBy's job, not LSH's.
+    """
+    stacked = _banded_buckets(sigs, id_col, k, band_size)
+    if bucket_cap is not None:
+        w_count = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        stacked = (
+            stacked.withColumn("_bc", w_count)
+            .filter(F.col("_bc") <= bucket_cap)
+            .drop("_bc")
+        )
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -135,10 +171,13 @@ def minhash_dedup_pairs(
     k: int = 8,
     band_size: int = 2,
     threshold: float = 0.7,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify."""
     sh = word_shingles(df, id_col, text_col, n).persist()
-    pairs = lsh_candidate_pairs(minhash_signatures(sh, id_col, k), id_col, k, band_size)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(sh, id_col, k), id_col, k, band_size, bucket_cap=bucket_cap
+    )
     return jaccard_verify(pairs, sh, id_col, threshold)
 
 

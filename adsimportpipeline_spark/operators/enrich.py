@@ -8,11 +8,13 @@ Levenshtein similarity matrix (author_match.py:318-363), pairs accepted at
 score >= 0.6, whole merge abandoned below 0.5 (author_match.py:385-387,
 398-410).
 
-v1 uses deterministic greedy max-weight matching (scipy is unavailable in
-this sandbox; the reference itself falls back between two implementations,
-author_match.py:344-350).  The *slot* — grouped applyInPandas over the merge
-key, numpy-vectorized scoring — is the architecture; swapping greedy for
-``scipy.optimize.linear_sum_assignment`` is a two-line change.
+Matching is OPTIMAL assignment (Kuhn-Munkres), like the reference
+(author_match.py:142-264 ships two Hungarian implementations and
+auto-selects, 344-350): greedy matching silently diverges on crossing
+matches — two winners both closest to the same loser — so a from-scratch
+O(n^3) shortest-augmenting-path Hungarian runs per group.  The greedy
+variant is kept only for the regression test that demonstrates the
+divergence.
 """
 
 from __future__ import annotations
@@ -62,7 +64,8 @@ def _lev_ratio(x: str, y: str) -> float:
 
 def _greedy_match(sim: np.ndarray) -> list[tuple[int, int, float]]:
     """Deterministic greedy max-weight matching: best pairs first, ties by
-    (i, j)."""
+    (i, j).  Kept for the divergence regression test only — NOT optimal on
+    crossing matches."""
     pairs = [(-sim[i, j], i, j) for i in range(sim.shape[0]) for j in range(sim.shape[1])]
     pairs.sort()
     used_i: set[int] = set()
@@ -74,6 +77,72 @@ def _greedy_match(sim: np.ndarray) -> list[tuple[int, int, float]]:
         used_i.add(i)
         used_j.add(j)
         out.append((i, j, -negs))
+    return out
+
+
+def _hungarian_min(cost: np.ndarray) -> list[int]:
+    """Optimal assignment minimizing total cost: the classic potentials +
+    shortest-augmenting-path Hungarian, O(n^2 m).  Requires n <= m; returns
+    for each row i the column assigned to it."""
+    n, m = cost.shape
+    assert n <= m
+    INF = float("inf")
+    u = [0.0] * (n + 1)
+    v = [0.0] * (m + 1)
+    match_of_col = [0] * (m + 1)  # 1-based row matched to each column
+    way = [0] * (m + 1)
+    for i in range(1, n + 1):
+        match_of_col[0] = i
+        j0 = 0
+        minv = [INF] * (m + 1)
+        used = [False] * (m + 1)
+        while True:
+            used[j0] = True
+            i0, delta, j1 = match_of_col[j0], INF, -1
+            for j in range(1, m + 1):
+                if used[j]:
+                    continue
+                cur = cost[i0 - 1, j - 1] - u[i0] - v[j]
+                if cur < minv[j]:
+                    minv[j] = cur
+                    way[j] = j0
+                if minv[j] < delta:
+                    delta = minv[j]
+                    j1 = j
+            for j in range(m + 1):
+                if used[j]:
+                    u[match_of_col[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if match_of_col[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            match_of_col[j0] = match_of_col[j1]
+            j0 = j1
+    ans = [0] * n
+    for j in range(1, m + 1):
+        if match_of_col[j]:
+            ans[match_of_col[j] - 1] = j - 1
+    return ans
+
+
+def optimal_match(sim: np.ndarray) -> list[tuple[int, int, float]]:
+    """Max-weight optimal bipartite matching over a similarity matrix
+    (reference Kuhn-Munkres, author_match.py:142-264).  Every row of the
+    smaller side is matched; callers filter pairs by acceptance threshold."""
+    if sim.size == 0:
+        return []
+    transposed = sim.shape[0] > sim.shape[1]
+    a = sim.T if transposed else sim
+    cols = _hungarian_min(-a.astype(float))
+    out = []
+    for i, j in enumerate(cols):
+        pair = (j, i) if transposed else (i, j)
+        out.append((pair[0], pair[1], float(sim[pair[0], pair[1]])))
+    out.sort()
     return out
 
 
@@ -103,7 +172,7 @@ def enrich_affiliations(
         out["match_score"] = np.nan
         if not lrows.empty:
             sim = _sim_matrix(list(wrows["name"]), list(lrows["name"]))
-            matches = _greedy_match(sim)
+            matches = optimal_match(sim)
             scores = [s for _, _, s in matches]
             if scores and float(np.mean(scores)) >= MERGE_BAIL:
                 for i, j, s in matches:

@@ -162,9 +162,11 @@ def record_merge(
                 F.collect_list(_when(field_col, f, F.struct(order.alias("o"), val.alias("v"))))
             )
             # array_distinct keeps FIRST occurrence -> the reference's
-            # encounter-order dedup (merger.py:226-241)
+            # encounter-order dedup (merger.py:226-241); a key with no rows
+            # for this field gets NULL (field absent from the record), not []
+            deduped = F.array_distinct(F.transform(collected, lambda s: s["v"]))
             aggs.append(
-                F.array_distinct(F.transform(collected, lambda s: s["v"])).alias(f)
+                F.when(F.size(deduped) > 0, deduped).alias(f)
             )
         for f in ref_fields:
             # always-append values in encounter order (merger.py:169-176)
@@ -210,9 +212,8 @@ def record_merge(
             flat = F.flatten(
                 F.transform(appended, lambda s: F.split(s, list_sep))
             )
-            cols.append(
-                F.array_distinct(F.concat(winner_list, flat)).alias(f)
-            )
+            combined = F.array_distinct(F.concat(winner_list, flat))
+            cols.append(F.when(F.size(combined) > 0, combined).alias(f))
         elif rule == "publication":
             cols.append(F.col(f"_win_{f}").alias(f))
             if alternate_col:

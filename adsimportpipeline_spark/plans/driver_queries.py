@@ -244,6 +244,88 @@ SELECT user_id, event_id, event_type, value FROM (
 """
 
 
+def q_record_merge(spark, sf_dir):
+    """A2+A12 composition: the per-field merge driver (Merger.merge,
+    merger.py:107-131 + MERGER_RULES config.py:48-91) — typed block rows ->
+    ONE canonical record per key with a different rule per field, computed
+    as conditional aggregation (two shuffles total for all fields)."""
+    from ..operators.record_merge import record_merge
+
+    ev = _t(spark, sf_dir, "events")
+    field = F.element_at(
+        F.array(F.lit("title"), F.lit("keywords"), F.lit("doi"), F.lit("refereed")),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    value = F.when(
+        field == "refereed",
+        F.when(F.col("value") > 50, F.lit("true")).otherwise(F.lit("false")),
+    ).otherwise(F.coalesce(F.col("props"), F.lit("")))
+    blocks = ev.select(
+        F.col("user_id"),
+        field.alias("field"),
+        value.alias("value"),
+        F.col("event_type").alias("origin"),
+        F.col("ts").alias("modtime"),
+        F.col("event_id").alias("offset"),
+    )
+    return record_merge(
+        blocks,
+        rules={
+            "title": "origin_trust",
+            "keywords": "take_all",
+            "doi": "take_all_by_priority",
+            "refereed": "boolean",
+        },
+        key="user_id",
+        priority_map=EVENT_PRIORITIES,
+    )
+
+
+_PRIO_ORIGIN_SQL = (
+    "CASE origin WHEN 'purchase' THEN 1.0::DOUBLE WHEN 'signup' THEN 0.8::DOUBLE "
+    "WHEN 'view' THEN 0.6::DOUBLE WHEN 'click' THEN 0.3::DOUBLE WHEN 'error' THEN 0.1::DOUBLE "
+    "ELSE 0.5::DOUBLE END"
+)
+
+_RECORD_MERGE_SQL = f"""
+WITH blocks AS (
+  SELECT user_id,
+         ['title','keywords','doi','refereed'][(event_id % 4)::INT + 1] AS field,
+         CASE WHEN (event_id % 4) = 3
+              THEN (CASE WHEN value > 50 THEN 'true' ELSE 'false' END)
+              ELSE coalesce(props, '') END AS value,
+         event_type AS origin, ts AS modtime, event_id AS off
+  FROM events),
+t1 AS (SELECT user_id, origin, value, modtime, off FROM (
+   SELECT *, row_number() OVER (PARTITION BY user_id, origin
+     ORDER BY (length(value) > 0) DESC, modtime DESC, length(value) DESC, off DESC) rn
+   FROM blocks WHERE field = 'title') WHERE rn = 1),
+title_w AS (SELECT user_id, value AS title FROM (
+   SELECT *, row_number() OVER (PARTITION BY user_id
+     ORDER BY (length(value) > 0) DESC, {_PRIO_ORIGIN_SQL} DESC, length(value) DESC,
+              modtime DESC, off DESC) rn
+   FROM t1) WHERE rn = 1),
+kw1 AS (SELECT user_id, value, min(off) AS o FROM blocks
+        WHERE field = 'keywords' GROUP BY user_id, value),
+kw AS (SELECT user_id, list(value ORDER BY o, value) AS keywords FROM kw1 GROUP BY user_id),
+d1 AS (SELECT user_id, value, np, o FROM (
+   SELECT user_id, value, -({_PRIO_ORIGIN_SQL}) AS np, off AS o,
+          row_number() OVER (PARTITION BY user_id, value
+            ORDER BY -({_PRIO_ORIGIN_SQL}), off) rn
+   FROM blocks WHERE field = 'doi') WHERE rn = 1),
+doi_l AS (SELECT user_id, list(value ORDER BY np, o, value) AS doi FROM d1 GROUP BY user_id),
+rf AS (SELECT user_id, max(value::BOOLEAN) AS refereed FROM blocks
+       WHERE field = 'refereed' GROUP BY user_id),
+base AS (SELECT DISTINCT user_id FROM blocks)
+SELECT b.user_id, t.title, k.keywords, d.doi, r.refereed
+FROM base b
+LEFT JOIN title_w t USING (user_id)
+LEFT JOIN kw k USING (user_id)
+LEFT JOIN doi_l d USING (user_id)
+LEFT JOIN rf r USING (user_id)
+"""
+
+
 def q_take_all(spark, sf_dir):
     """A5: order-preserving union-distinct (merger.py:226-241)."""
     ev = _t(spark, sf_dir, "events").withColumn("_ord", F.struct("ts", "event_id"))
@@ -460,6 +542,211 @@ FROM events
 # Relational coverage / bench headliners (TPC-H-ish)
 # =====================================================================
 
+# =====================================================================
+# Ragged-scalar surface (§2.7 tail): F5 / F7 / F9 / J6
+# =====================================================================
+
+def q_language_schema(spark, sf_dir):
+    """F5 ensureLanguageSchema (enforce_schema.py:21-38): plain-string OR
+    ragged-struct values normalized to one array<struct<lang,text>> via the
+    transform HOF; projected as parallel arrays for hashing."""
+    from ..functions.scalars import ensure_language_schema
+
+    docs = _t(spark, sf_dir, "documents")
+    plain = F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+    structs = F.when(
+        F.col("doc_id") % 2 != 0,
+        F.array(
+            F.struct(F.col("lang").alias("at_lang"), F.col("source").alias("hash_text")),
+            F.struct(
+                F.lit(None).cast("string").alias("at_lang"),
+                F.col("text").alias("hash_text"),
+            ),
+        ),
+    )
+    norm = ensure_language_schema(plain, structs)
+    return docs.select(
+        "doc_id",
+        F.transform(norm, lambda s: s["lang"]).alias("langs"),
+        F.transform(norm, lambda s: s["text"]).alias("texts"),
+    )
+
+
+from ..functions.scalars import (  # noqa: E402
+    ensure_language_schema_sql,
+    host_stem_mapper_sql,
+    source_class_mapper_sql,
+)
+
+_LANG_SCHEMA_NORM = ensure_language_schema_sql(
+    "CASE WHEN doc_id % 2 = 0 THEN text END",
+    "CASE WHEN doc_id % 2 <> 0 THEN "
+    "[{'at_lang': lang, 'hash_text': source}, {'at_lang': NULL, 'hash_text': text}] END",
+)
+_LANG_SCHEMA_SQL = f"""
+SELECT doc_id,
+       list_transform({_LANG_SCHEMA_NORM}, s -> s.lang) AS langs,
+       list_transform({_LANG_SCHEMA_NORM}, s -> s.text) AS texts
+FROM documents
+"""
+
+
+def q_host_stem_map(spark, sf_dir):
+    """F7 bibstem_mapper (solr_adapter.py:752-776): fixed-position substring
+    slicing + special-case when-chain + digit-spill reset, over hostnames."""
+    from ..functions.scalars import host_stem_mapper
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 7 == 0, F.lit("m."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+    )
+    short, long = host_stem_mapper(host)
+    return docs.select(
+        "doc_id", short.alias("short_stem"), long.alias("long_stem")
+    )
+
+
+_HOST_EXPR = (
+    "(CASE WHEN doc_id % 5 = 0 THEN 'www.' WHEN doc_id % 7 = 0 THEN 'm.' ELSE '' END "
+    "|| source || '.example.com')"
+)
+_HOST_SHORT_SQL, _HOST_LONG_SQL = host_stem_mapper_sql(_HOST_EXPR)
+_HOST_STEM_SQL = f"""
+SELECT doc_id, {_HOST_SHORT_SQL} AS short_stem, {_HOST_LONG_SQL} AS long_stem
+FROM documents
+"""
+
+
+def q_source_class_map(spark, sf_dir):
+    """F9 simbad/ned type mappers (solr_adapter.py:658-705): when-chain
+    folding raw source tags into a facet vocabulary."""
+    from ..functions.scalars import source_class_mapper
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", source_class_mapper(F.col("source")).alias("source_class")
+    )
+
+
+_SOURCE_CLASS_SQL = f"""
+SELECT doc_id, source, {source_class_mapper_sql('source')} AS source_class
+FROM documents
+"""
+
+
+def q_parse_date_multi(spark, sf_dir):
+    """F1/F2 parseDate (enforce_schema.py:55-83), all quirks: multi-format
+    fallback chain, '-00' month repair, +30min solr offset on full dates,
+    pre-1900 isoformat rendering."""
+    from ..functions.scalars import parse_date_multi
+
+    ev = _t(spark, sf_dir, "events")
+    datestr = (
+        F.when(F.col("event_id") % 7 == 0, F.lit("1880-05"))
+        .when(F.col("event_id") % 5 == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+        .when(F.col("event_id") % 5 == 1, F.date_format("ts", "yyyy-MM-dd"))
+        .when(F.col("event_id") % 5 == 2, F.date_format("ts", "yyyy-MM"))
+        .when(F.col("event_id") % 5 == 3, F.date_format("ts", "yyyy"))
+        .otherwise(F.concat(F.date_format("ts", "yyyy"), F.lit("-00")))
+    )
+    return ev.select(
+        "event_id", datestr.alias("datestr"), parse_date_multi(datestr).alias("solr_date")
+    )
+
+
+from ..functions.scalars import parse_date_multi_sql  # noqa: E402
+
+_DATESTR_SQL = (
+    "CASE WHEN event_id % 7 = 0 THEN '1880-05' "
+    "WHEN event_id % 5 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') "
+    "WHEN event_id % 5 = 1 THEN strftime(ts, '%Y-%m-%d') "
+    "WHEN event_id % 5 = 2 THEN strftime(ts, '%Y-%m') "
+    "WHEN event_id % 5 = 3 THEN strftime(ts, '%Y') "
+    "ELSE strftime(ts, '%Y') || '-00' END"
+)
+_PARSE_DATE_SQL = f"""
+WITH d AS (SELECT event_id, {_DATESTR_SQL} AS datestr FROM events)
+SELECT event_id, datestr, {parse_date_multi_sql('datestr')} AS solr_date FROM d
+"""
+
+
+def q_positional_zip(spark, sf_dir):
+    """J6 positional claims join (solr_adapter.py:518-532): zip two parallel
+    arrays by POSITION, keep values whose companion passes the predicate."""
+    from ..functions.scalars import positional_zip_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 6)
+    types = F.transform(
+        words,
+        lambda w: F.when(F.length(w) % 2 == 0, F.lit("even")).otherwise(F.lit("odd")),
+    )
+    kept = positional_zip_filter(words, types, lambda c: c == "even")
+    return docs.select(
+        "doc_id", F.when(F.size(kept) > 0, kept).alias("kept_words")
+    )
+
+
+def q_typed_element_filter(spark, sf_dir):
+    """P7/P8: typed-element predicates over struct arrays (AUTHOR_TYPES
+    membership + link-type equality) as filter HOFs — no explode."""
+    from ..functions.scalars import filter_typed_elements
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
+    authors = F.transform(
+        words,
+        lambda w: F.struct(
+            w.alias("name"),
+            F.when(F.length(w) % 3 == 0, F.lit("regular"))
+            .when(F.length(w) % 3 == 1, F.lit("collaboration"))
+            .otherwise(F.lit("other"))
+            .alias("atype"),
+        ),
+    )
+    kept = filter_typed_elements(authors, "atype", ["regular", "collaboration"])
+    names = F.transform(kept, lambda x: x["name"])
+    n_links = F.size(F.filter(authors, lambda x: x["atype"] == "other"))
+    return docs.select(
+        "doc_id",
+        F.when(F.size(names) > 0, names).alias("kept_names"),
+        n_links.cast("int").alias("n_other"),
+    )
+
+
+_TYPED_FILTER_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform((regexp_split_to_array(trim(text), '\s+'))[1:8],
+           x -> {'name': x,
+                 'atype': CASE WHEN length(x) % 3 = 0 THEN 'regular'
+                               WHEN length(x) % 3 = 1 THEN 'collaboration'
+                               ELSE 'other' END}) AS authors
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN len(list_filter(authors, x -> x.atype IN ('regular','collaboration'))) > 0
+            THEN list_transform(list_filter(authors, x -> x.atype IN ('regular','collaboration')), x -> x.name)
+            END AS kept_names,
+       len(list_filter(authors, x -> x.atype = 'other'))::INT AS n_other
+FROM w
+"""
+
+
+_POSITIONAL_ZIP_SQL = r"""
+WITH w AS (SELECT doc_id, (regexp_split_to_array(trim(text), '\s+'))[1:6] AS words
+           FROM documents),
+z AS (SELECT doc_id, unnest(words) AS wd, generate_subscripts(words, 1) AS pos FROM w)
+SELECT d.doc_id, k.kept_words
+FROM documents d LEFT JOIN (
+  SELECT doc_id, list(wd ORDER BY pos) AS kept_words
+  FROM z WHERE length(wd) % 2 = 0 GROUP BY doc_id) k USING (doc_id)
+"""
+
+
 def q_pricing_summary(spark, sf_dir):
     """Q1-style aggregation over lineitem (decimal-exact sums)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -600,10 +887,20 @@ _MINHASH_SIGS_SQL = (
 )
 
 
+#: boilerplate-bucket cap for the LSH self-join (members above this are
+#: skipped; lsh_bucket_stats audits exactly which).  The oracle applies the
+#: identical cap, so the two stay equivalent by construction.
+LSH_BUCKET_CAP = 2000
+
+
 def q_doc_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup pairs (band=2, jaccard verify >= 0.05)."""
+    """MinHash-LSH near-dup pairs (band=2, jaccard verify >= 0.05), with the
+    hot-bucket cap that keeps a boilerplate bucket from going quadratic."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3, k=8, band_size=2, threshold=0.05)
+    return dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, k=8, band_size=2, threshold=0.05,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
 
 
 def _band_sql(b: int, band_size: int = 2) -> str:
@@ -620,7 +917,10 @@ _MINHASH_PAIRS_SQL = (
     + "bands AS (SELECT doc_id, "
     + ", ".join(_band_sql(b) for b in range(4))
     + " FROM sigs), "
-    + "stacked AS (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bucket FROM bands), "
+    + "stacked0 AS (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bucket FROM bands), "
+    + "stacked AS (SELECT doc_id, bucket FROM (SELECT doc_id, bucket, "
+    + "count(*) OVER (PARTITION BY bucket) AS bc FROM stacked0) WHERE bc <= "
+    + "LSHCAP), "
     + "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM stacked a "
     + "JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id), "
     + "sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingles GROUP BY doc_id) "
@@ -629,7 +929,7 @@ _MINHASH_PAIRS_SQL = (
     + "len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard "
     + "FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id) "
     + "WHERE jaccard >= 0.05"
-)
+).replace("LSHCAP", str(LSH_BUCKET_CAP))
 
 
 def q_doc_simhash(spark, sf_dir):
@@ -989,6 +1289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tombstone_guard": q_tombstone_guard,
     "fingerprint_agg": q_fingerprint_agg,
     "origin_trust_merge": q_origin_trust_merge,
+    "record_merge": q_record_merge,
     "take_all": q_take_all,
     "take_all_by_priority": q_take_all_by_priority,
     "boolean_merge": q_boolean_merge,
@@ -999,6 +1300,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top2_per_type": q_top2_per_type,
     "identifier_union": q_identifier_union,
     "scalar_normalize": q_scalar_normalize,
+    "parse_date_multi": q_parse_date_multi,
+    "language_schema": q_language_schema,
+    "host_stem_map": q_host_stem_map,
+    "source_class_map": q_source_class_map,
+    "positional_zip": q_positional_zip,
+    "typed_element_filter": q_typed_element_filter,
     "canonical_fingerprints": q_canonical_fingerprints,
     "output_projection": q_output_projection,
     "pricing_summary": q_pricing_summary,
@@ -1032,6 +1339,7 @@ ORACLES: dict[str, str] = {
     "tombstone_guard": _TOMBSTONE_SQL,
     "fingerprint_agg": _FP_AGG_SQL,
     "origin_trust_merge": _ORIGIN_TRUST_SQL,
+    "record_merge": _RECORD_MERGE_SQL,
     "take_all": _TAKE_ALL_SQL,
     "take_all_by_priority": _TAKE_ALL_PRIO_SQL,
     "boolean_merge": _BOOL_SQL,
@@ -1042,6 +1350,12 @@ ORACLES: dict[str, str] = {
     "top2_per_type": _TOP2_SQL,
     "identifier_union": _IDENT_UNION_SQL,
     "scalar_normalize": _SCALAR_SQL,
+    "parse_date_multi": _PARSE_DATE_SQL,
+    "language_schema": _LANG_SCHEMA_SQL,
+    "host_stem_map": _HOST_STEM_SQL,
+    "source_class_map": _SOURCE_CLASS_SQL,
+    "positional_zip": _POSITIONAL_ZIP_SQL,
+    "typed_element_filter": _TYPED_FILTER_SQL,
     "canonical_fingerprints": _CANON_FP_SQL,
     "output_projection": _OUTPUT_PROJ_SQL,
     "pricing_summary": _Q1_SQL,

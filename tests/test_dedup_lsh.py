@@ -1,0 +1,47 @@
+"""LSH hygiene: a boilerplate corpus (hundreds of near-identical pages that
+all land in one band bucket) must NOT produce a quadratic candidate-pair
+explosion once the bucket cap is on, and the cap must be auditable (never
+silent) via lsh_bucket_stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adsimportpipeline_spark.operators.dedup import (
+    lsh_bucket_stats,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+
+N_BOILER = 60
+
+
+def _corpus(spark):
+    # 60 identical boilerplate docs (one mega-bucket) + 2 genuine near-dups
+    rows = [(i, "cookie banner accept terms privacy policy contact") for i in range(N_BOILER)]
+    rows += [
+        (1000, "quick brown fox jumps over the lazy dog in the misty park tonight"),
+        (1001, "quick brown fox jumps over the lazy dog in the misty park today"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bucket_cap_bounds_pairs_and_is_audited(spark):
+    docs = _corpus(spark)
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    sigs = minhash_signatures(sh, "doc_id", 8).persist()
+
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", 8, 2).count()
+    assert uncapped >= N_BOILER * (N_BOILER - 1) // 2  # quadratic explosion
+
+    capped = lsh_candidate_pairs(sigs, "doc_id", 8, 2, bucket_cap=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # boilerplate pairs gone, the genuine near-dup pair survives
+    assert (1000, 1001) in pairs
+    assert len(pairs) < 10
+
+    stats = lsh_bucket_stats(sigs, "doc_id", 8, 2, bucket_cap=10)
+    dropped = stats.filter(F.col("dropped")).agg(F.sum("members")).collect()[0][0]
+    assert dropped and dropped >= N_BOILER  # the cap is visible, not silent
+    sigs.unpersist()

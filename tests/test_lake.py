@@ -57,3 +57,45 @@ def test_epoch_bookkeeping(spark, tmp_path):
     t.overwrite_buckets(_rows(spark, ["a"]), [0, 1], epoch_source="cdc", epoch=7)
     assert t.last_epoch("cdc") == 7
     assert t.last_epoch("other") == -1
+
+
+def _tomb_rows(spark, n, batch):
+    from adsimportpipeline_spark.schema import TOMBSTONE_SCHEMA
+
+    return spark.createDataFrame(
+        [(f"u{batch}-{i}", datetime(2024, 1, 1), "deleted", batch * 100 + i) for i in range(n)],
+        TOMBSTONE_SCHEMA,
+    )
+
+
+def test_append_compaction_and_snapshot_expiry(spark, tmp_path):
+    from adsimportpipeline_spark.schema import TOMBSTONE_SCHEMA
+
+    t = LakeTable.create(spark, str(tmp_path / "t4"), PAGES_SCHEMA, n_buckets=2)
+    for b in range(12):
+        t.overwrite_buckets(
+            _rows(spark, [f"u{b}"]), [0, 1],
+            epoch_source="cdc", epoch=b,
+            tombstone_appends=_tomb_rows(spark, 2, b),
+        )
+    m = t.manifest()
+    assert len(m["tombstone_files"]) == 12  # one append file per micro-batch
+    before = {tuple(r) for r in t.read_tombstones(TOMBSTONE_SCHEMA).collect()}
+
+    t.compact_appends()
+    m2 = t.manifest()
+    assert len(m2["tombstone_files"]) == 1  # folded to O(1)
+    after = {tuple(r) for r in t.read_tombstones(TOMBSTONE_SCHEMA).collect()}
+    assert after == before  # contents exactly preserved
+
+    import os
+
+    mdir = os.path.join(t.root, "_manifests")
+    assert len(os.listdir(mdir)) > 10
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired  # old versions dropped
+    # manifests bounded, current snapshot fully readable
+    assert len([f for f in os.listdir(mdir) if f.startswith("v")]) <= 2
+    assert t.read().count() == 1  # last overwrite_buckets replaced all buckets
+    assert {tuple(r) for r in t.read_tombstones(TOMBSTONE_SCHEMA).collect()} == before
+    assert t.last_epoch("cdc") == 11

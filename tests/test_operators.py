@@ -158,6 +158,50 @@ def test_enrich_affiliations_matching(spark):
     assert out["doe, jane"]["affiliation"] == "MIT"  # kept, not overwritten
 
 
+def test_optimal_match_beats_greedy_on_crossing_pairs():
+    """Crossing case (reference Kuhn-Munkres, author_match.py:142-264): two
+    winners both closest to loser 0.  Greedy locks (0,0) and strands winner 1
+    on a 0.1 pair; optimal assignment crosses to (0,1)+(1,0) for higher
+    total weight — the divergence VERDICT flagged."""
+    import numpy as np
+
+    from adsimportpipeline_spark.operators.enrich import _greedy_match, optimal_match
+
+    sim = np.array([[0.90, 0.80], [0.85, 0.10]])
+    greedy = {(i, j) for i, j, _ in _greedy_match(sim)}
+    optimal = {(i, j) for i, j, _ in optimal_match(sim)}
+    assert greedy == {(0, 0), (1, 1)}
+    assert optimal == {(0, 1), (1, 0)}
+    assert sum(sim[i, j] for i, j in optimal) > sum(sim[i, j] for i, j in greedy)
+
+
+def test_optimal_match_rectangular_and_trivial():
+    import numpy as np
+
+    from adsimportpipeline_spark.operators.enrich import optimal_match
+
+    # more winners (rows) than losers: only |losers| pairs, still optimal
+    sim = np.array([[0.9, 0.1], [0.8, 0.7], [0.2, 0.6]])
+    pairs = {(i, j) for i, j, _ in optimal_match(sim)}
+    assert pairs == {(0, 0), (1, 1)} or pairs == {(0, 0), (2, 1)}
+    assert optimal_match(np.zeros((0, 0))) == []
+    # brute-force cross-check on random matrices
+    import itertools
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        n, m = rng.randint(1, 5), rng.randint(1, 5)
+        s = rng.rand(n, m)
+        got = sum(v for _, _, v in optimal_match(s))
+        k = min(n, m)
+        best = max(
+            sum(s[i, j] for i, j in zip(rows, cols))
+            for rows in itertools.permutations(range(n), k)
+            for cols in itertools.permutations(range(m), k)
+        )
+        assert abs(got - best) < 1e-9
+
+
 def test_schema_evolution_rules():
     a = T.StructType([T.StructField("x", T.IntegerType()), T.StructField("y", T.StringType())])
     b = T.StructType([T.StructField("x", T.LongType()), T.StructField("z", T.DoubleType())])

@@ -22,15 +22,48 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "event_id" in read_schema and "props" not in read_schema
 
 
-def test_semi_lww_uses_broadcast(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+def _ev(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").alias("url"),
         F.col("ts").alias("warc_ts"),
         F.col("event_id").alias("log_offset"),
         "event_type",
     )
-    plan = _plan(lww_dedup_semi(ev))
-    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_lww_join_strategy_adapts(spark, sf_dir):
+    """The winner-keys join must not be a hard-coded broadcast: forcing
+    broadcast of 10^9 distinct keys in a bulk replay is a driver OOM.
+    True/False force the strategy; the default defers to AQE, which picks
+    broadcast at runtime only because this key set is actually small."""
+    ev = _ev(spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(lww_dedup_semi(ev, broadcast_keys=True))
+    p_shuffled = _plan(lww_dedup_semi(ev, broadcast_keys=False))
+    assert "BroadcastHashJoin" not in p_shuffled
+    assert "ShuffledHashJoin" in p_shuffled or "SortMergeJoin" in p_shuffled
+
+    adaptive = lww_dedup_semi(ev)
+    adaptive.collect()  # let AQE finalize
+    p_final = _plan(adaptive)
+    assert "AdaptiveSparkPlan" in p_final
+    assert "BroadcastHashJoin" in p_final  # runtime choice on a small key set
+
+
+def test_tombstone_guard_no_forced_broadcast(spark, sf_dir):
+    """tombstone_guard joins against an unboundedly-growing table; the plan
+    must respect the broadcast threshold instead of forcing a broadcast
+    (with broadcasts disabled the join degrades to a shuffle, not an OOM)."""
+    from adsimportpipeline_spark.operators.cdc import tombstone_guard
+
+    ev = _ev(spark, sf_dir)
+    tombs = ev.select("url", "warc_ts", "log_offset")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(tombstone_guard(ev, tombs))
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_lww_max_by_has_partial_aggregation(spark, sf_dir):

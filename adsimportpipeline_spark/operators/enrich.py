@@ -38,16 +38,42 @@ ENRICHED_SCHEMA = T.StructType(
 )
 
 
+def _parse_name(n: str) -> list[str]:
+    """'Last, F[irst] M.' -> [last, first, middle...] with initial dots
+    stripped (F6 name normalization, author_match.py:266-283)."""
+    last, _, rest = n.partition(", ")
+    toks = [t[:-1] if t.endswith(".") else t for t in rest.split(" ") if t]
+    return [last] + toks
+
+
+def _normalize_pair(x: str, y: str) -> tuple[str, str]:
+    """Pairwise precision truncation (F17, author_match.py:290-315): each
+    name-token pair is cut to the shorter token's length so a full first
+    name is never compared against its initial."""
+    if not x or not y:
+        return x, y
+    px, py = _parse_name(x.lower()), _parse_name(y.lower())
+    a, b = px[0] + ",", py[0] + ","
+    for tx, ty in zip(px[1:], py[1:]):
+        t = min(len(tx), len(ty))
+        a += " " + tx[:t]
+        b += " " + ty[:t]
+    return a, b
+
+
 def _sim_matrix(a: list[str], b: list[str]) -> np.ndarray:
-    """Levenshtein-ratio similarity matrix (vectorized DP over the batch)."""
+    """Similarity matrix over pairwise-normalized names."""
     m = np.zeros((len(a), len(b)))
     for i, x in enumerate(a):
         for j, y in enumerate(b):
-            m[i, j] = _lev_ratio(x.lower(), y.lower())
+            m[i, j] = _lev_ratio(*_normalize_pair(x, y))
     return m
 
 
 def _lev_ratio(x: str, y: str) -> float:
+    """Levenshtein *ratio* with substitution cost 2 — the exact metric of
+    python-Levenshtein's ``ratio`` the reference scores with
+    (author_match.py:341): ratio = (|x|+|y| - dist_indel2) / (|x|+|y|)."""
     if not x and not y:
         return 1.0
     lx, ly = len(x), len(y)
@@ -57,9 +83,13 @@ def _lev_ratio(x: str, y: str) -> float:
         cur[0] = i
         xs = x[i - 1]
         for j in range(1, ly + 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (xs != y[j - 1]))
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (0 if xs == y[j - 1] else 2),
+            )
         prev = cur
-    return 1.0 - prev[ly] / max(lx, ly)
+    return 1.0 - prev[ly] / (lx + ly)
 
 
 def _greedy_match(sim: np.ndarray) -> list[tuple[int, int, float]]:
@@ -184,3 +214,51 @@ def enrich_affiliations(
         return out
 
     return both.groupBy(key).applyInPandas(_merge, ENRICHED_SCHEMA)
+
+
+def author_merge(
+    blocks: DataFrame,
+    priority_map: dict[str, float],
+    key: str = "url",
+    origin_col: str = "origin",
+    modtime_col: str = "modtime",
+) -> DataFrame:
+    """A10 authorMerger (merger.py:133-153) end-to-end: the origin-trust fold
+    picks the winning author LIST per key, then winners' missing
+    affiliations are filled from the losing list by optimal bipartite name
+    matching — exactly the reference composition (A3 fold + J4 match).
+
+    Input: one row per (key, origin, author): ``key, origin, modtime, name,
+    affiliation, author_pos``.  Output: the winner list enriched, one row
+    per author with ``match_score`` where a loser matched.
+    """
+    from .merge_rules import priority_expr
+
+    # trust fold over LISTS: the winning (origin) block per key — content
+    # length = list size (merger.py:332-334 compares len of the field)
+    per_block = blocks.groupBy(key, origin_col).agg(
+        F.max(F.col(modtime_col)).alias("_mt"),
+        F.count(F.lit(1)).alias("_sz"),
+    )
+    winner_block = (
+        per_block.groupBy(key)
+        .agg(
+            F.max_by(
+                F.col(origin_col),
+                F.struct(
+                    priority_expr(origin_col, priority_map).alias("p"),
+                    F.col("_sz").alias("clen"),
+                    F.col("_mt").alias("mt"),
+                    F.col(origin_col).alias("o"),
+                ),
+            ).alias("_worigin")
+        )
+    )
+    tagged = blocks.join(winner_block, key)
+    winners = tagged.filter(F.col(origin_col) == F.col("_worigin")).select(
+        key, "name", "affiliation"
+    )
+    losers = tagged.filter(F.col(origin_col) != F.col("_worigin")).select(
+        key, "name", "affiliation"
+    )
+    return enrich_affiliations(winners, losers, key=key)

@@ -122,22 +122,35 @@ def lsh_ann_topk(
     query_id_col: str = "query_id",
     n_planes: int = 4,
     dim: int = 64,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket.
 
     At 10^10 vectors this turns the scan into a bucket-pruned join
-    (2^n_planes buckets); recall is tuned by n_planes / multi-probe.
+    (2^n_planes buckets).  ``multi_probe=True`` additionally probes every
+    bucket at Hamming distance 1 from the query's (the standard multi-probe
+    LSH recall lever: n_planes+1 of 2^n_planes buckets scanned instead of
+    1 — still a 1/(2^n_planes/(n_planes+1)) pruning at scale).
     """
     vb = vectors.select(
         F.col(id_col), F.col(vec_col).alias("_v"), lsh_bucket(vec_col, n_planes, dim).alias("_bkt")
     )
-    qb = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("_qv"),
-            lsh_bucket(vec_col, n_planes, dim).alias("_bkt"),
-        )
+    q0 = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        lsh_bucket(vec_col, n_planes, dim).alias("_bkt0"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("_bkt0"),
+            *[F.col("_bkt0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q0 = q0.select(
+            query_id_col, "_qv", F.explode(probes).alias("_bkt")
+        ).withColumn("_bkt", F.col("_bkt").cast("int"))
+    else:
+        q0 = q0.withColumnRenamed("_bkt0", "_bkt")
+    qb = F.broadcast(q0)
     scored = vb.join(qb, "_bkt").select(
         query_id_col,
         id_col,

@@ -1117,12 +1117,15 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
 
 def q_lsh_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (the 100 TB scale path): score only
-    vectors sharing the query's random-hyperplane bucket."""
+    vectors in the query's random-hyperplane bucket or its Hamming-1
+    neighbors (multi-probe recall lever)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_ann_topk(emb, queries, k=5, n_planes=4, dim=64)
+    return similarity.lsh_ann_topk(
+        emb, queries, k=5, n_planes=4, dim=64, multi_probe=True
+    )
 
 
 _LSH_ANN_SQL = f"""
@@ -1130,7 +1133,9 @@ WITH eb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          {similarity.lsh_bucket_sql('(embedding::DOUBLE[])', 4, 64)} AS bkt
   FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM eb WHERE vec_id % 97 = 0)
+q AS (SELECT vec_id AS query_id, v AS qv,
+             unnest([bkt, xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8)]) AS bkt
+      FROM eb WHERE vec_id % 97 = 0)
 SELECT query_id, vec_id, cosine, rank FROM (
   SELECT q.query_id, eb.vec_id,
          round(list_cosine_similarity(q.qv, eb.v), 6) AS cosine,

@@ -58,13 +58,21 @@ N_URLS = max(int(4_000_000 * SF), 10_000)
 #: N and 4N: within this VM's effective (non-stolen) core allocation
 N_LOW = max(min(CPUS // 4, 2), 1)
 N_HIGH = N_LOW * 4
-PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3"))
+PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "4"))
 WEAK_TRIALS = 2
 
 #: overall wall budget (sec): extra pairs are dropped once exceeded so the
 #: bench always emits its JSON line instead of dying to an outer timeout
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "520"))
 _START = time.time()
+
+
+def _loadavg1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return 0.0
 
 
 def _over_budget(reserve: float = 0.0) -> bool:
@@ -112,7 +120,7 @@ def replay_child(cores: int, log_path: str, n_events: int) -> None:
     # codegen so the timed run measures steady-state throughput
     warm_root = tempfile.mkdtemp(prefix=f"benchwarm{cores}-", dir=SCRATCH)
     warm_table = LakeTable.create(spark, warm_root, PAGES_SCHEMA, n_buckets=8)
-    warm_df = read_change_log(spark, log_path).filter("log_offset < 20000")
+    warm_df = read_change_log(spark, log_path).filter("log_offset < 5000")
     apply_batch(warm_table, warm_df, batch_id=0)
     shutil.rmtree(warm_root, ignore_errors=True)
 
@@ -130,7 +138,7 @@ def replay_child(cores: int, log_path: str, n_events: int) -> None:
                       "phases": stats.get("phases", {})}))
 
 
-def _run_child(cores: int, log_path: str, n_events: int) -> float:
+def _run_child(cores: int, log_path: str, n_events: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--replay-child", str(cores), log_path, str(n_events)],
         capture_output=True,
@@ -138,7 +146,7 @@ def _run_child(cores: int, log_path: str, n_events: int) -> float:
         check=True,
         cwd=REPO,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])["events_per_sec"]
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def _steal_ticks() -> int:
@@ -179,21 +187,29 @@ def main() -> None:
     gen_spark.stop()
 
     # --- strong scaling: interleaved (4N, N) pairs, median of ratios ----
+    # Each pair also records ambient-load diagnostics (1-min loadavg before
+    # the pair — should be ~0 on an idle box — and hypervisor steal during
+    # it); a pair whose window was visibly contended is excluded from the
+    # median when enough clean pairs remain.
     pairs: list[dict] = []
     for i in range(PAIRS):
         if pairs and _over_budget(reserve=150):
             break
-        s0, t0 = _steal_ticks(), time.time()
-        thr_h = _run_child(N_HIGH, log_path, N_EVENTS)
-        thr_l = _run_child(N_LOW, log_path, N_EVENTS)
+        load0, s0, t0 = _loadavg1(), _steal_ticks(), time.time()
+        h = _run_child(N_HIGH, log_path, N_EVENTS)
+        l_ = _run_child(N_LOW, log_path, N_EVENTS)
         wall, steal_sec = time.time() - t0, (_steal_ticks() - s0) / 100.0
+        thr_h, thr_l = h["events_per_sec"], l_["events_per_sec"]
         pairs.append(
             {
                 "events_per_sec_high": round(thr_h, 1),
                 "events_per_sec_low": round(thr_l, 1),
+                "wall_high_sec": round(h["wall_sec"], 1),
+                "wall_low_sec": round(l_["wall_sec"], 1),
                 "efficiency": round((thr_h / thr_l) / ratio, 3),
                 "steal_sec": round(steal_sec, 1),
-                "contaminated": steal_sec > 0.05 * wall,
+                "loadavg_before": load0,
+                "contaminated": steal_sec > 0.05 * wall or load0 > 1.0,
             }
         )
     clean = [p for p in pairs if not p["contaminated"]]
@@ -207,7 +223,7 @@ def main() -> None:
     for _ in range(WEAK_TRIALS):
         if weak_lows and _over_budget(reserve=90):
             break
-        weak_lows.append(_run_child(N_LOW, small_log_path, n_small))
+        weak_lows.append(_run_child(N_LOW, small_log_path, n_small)["events_per_sec"])
     weak_low_med = statistics.median(weak_lows)
     weak_eff = (thr_high_med / weak_low_med) / ratio
 
@@ -266,7 +282,8 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         pair_rows = "".join(
             f"| {i + 1} | {p['events_per_sec_high']:,.0f} | {p['events_per_sec_low']:,.0f} "
-            f"| {p['efficiency']:.3f} | {p['steal_sec']}{' (excluded)' if p['contaminated'] else ''} |\n"
+            f"| {p['efficiency']:.3f} | {p['steal_sec']}s / load {p['loadavg_before']}"
+            f"{' (excluded)' if p['contaminated'] else ''} |\n"
             for i, p in enumerate(pairs)
         )
         f.write(
@@ -281,7 +298,7 @@ def main() -> None:
             "Protocol: interleaved (4N, N) pairs, per-pair efficiency ratio,\n"
             "headline = MEDIAN over pairs; pairs with hypervisor steal > 5% of\n"
             "their wall-clock are excluded (this VM shares a host).\n\n"
-            f"| pair | events/sec @ {N_HIGH} CPUs | events/sec @ {N_LOW} CPUs | efficiency | steal (s) |\n"
+            f"| pair | events/sec @ {N_HIGH} CPUs | events/sec @ {N_LOW} CPUs | efficiency | steal / ambient load |\n"
             "|---|---|---|---|---|\n"
             + pair_rows
             + f"\n- **Strong-scaling efficiency N={N_LOW} -> 4N={N_HIGH} (median): "

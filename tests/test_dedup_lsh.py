@@ -45,3 +45,32 @@ def test_bucket_cap_bounds_pairs_and_is_audited(spark):
     dropped = stats.filter(F.col("dropped")).agg(F.sum("members")).collect()[0][0]
     assert dropped and dropped >= N_BOILER  # the cap is visible, not silent
     sigs.unpersist()
+
+
+def test_lsh_ann_recall_floor(spark, sf_dir):
+    """Multi-probe LSH-ANN must recall a healthy share of the exact top-5
+    and never less than single-probe (the recall lever actually levers)."""
+    from pyspark.sql import functions as F
+
+    from adsimportpipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, queries, k=5).collect()}
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_ann_topk(emb, queries, k=5, multi_probe=False).collect()
+    }
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_ann_topk(emb, queries, k=5, multi_probe=True).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.5

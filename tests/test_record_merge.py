@@ -118,3 +118,46 @@ def test_absent_field_is_null(spark):
     out = _merge(spark, rows, {"titles": "origin_trust", "keywords": "take_all"})
     assert out["u1"]["titles"] == "t"
     assert out["u1"]["keywords"] is None
+
+
+def test_author_merge_composition(spark):
+    """A10 end-to-end (reference test_merger.py test_AuthorMerger shape):
+    the higher-priority block's author list wins; winners lacking an
+    affiliation get it from the matched loser author."""
+    from adsimportpipeline_spark.operators.enrich import author_merge
+
+    rows = [
+        # winner block (iop, priority 1.0): two authors, first lacks affil
+        ("u1", "iop", _t(5), "accomazzi, alberto", None, 0),
+        ("u1", "iop", _t(5), "grant, carolyn s.", "ADS", 1),
+        # loser block (sti): matching names carry affiliations
+        ("u1", "sti", _t(1), "accomazzi, a.", "CfA", 0),
+        ("u1", "sti", _t(1), "stern grant, c.", "Harvard", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, origin string, modtime timestamp, name string, "
+        "affiliation string, author_pos int",
+    )
+    out = {r["name"]: r.asDict() for r in author_merge(df, PRIO).collect()}
+    assert set(out) == {"accomazzi, alberto", "grant, carolyn s."}  # winner list
+    assert out["accomazzi, alberto"]["affiliation"] == "CfA"  # filled from loser
+    assert out["grant, carolyn s."]["affiliation"] == "ADS"  # kept
+
+
+def test_name_normalization_and_ratio_metric():
+    """F6/F16/F17: pairwise precision truncation + Levenshtein *ratio*
+    (substitution cost 2, author_match.py:341).  'Stern Grant, C.' must
+    match 'Grant, Carolyn S.' at >= 0.6 — the reference's test_AuthorMerger
+    C1/C2 pair — which the plain normalized-distance metric would reject."""
+    from adsimportpipeline_spark.operators.enrich import (
+        _lev_ratio,
+        _normalize_pair,
+    )
+
+    a, b = _normalize_pair("Grant, Carolyn S.", "Stern Grant, C.")
+    assert (a, b) == ("grant, c", "stern grant, c")
+    assert _lev_ratio(a, b) >= 0.6
+    # full-vs-initial first names compare equal after truncation
+    x, y = _normalize_pair("Accomazzi, Alberto", "Accomazzi, A.")
+    assert _lev_ratio(x, y) == 1.0

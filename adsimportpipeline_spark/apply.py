@@ -89,10 +89,11 @@ def apply_batch(
         #    persisted — reused by bucket discovery AND the merge join, so the
         #    big groupBy shuffle runs once.  'semi' shuffles ordering keys
         #    only (payloads of losing events never move).
+        _caches: list = []
         if salted:
             dedup = lww_dedup_salted(batch_df, key, n_salts=n_salts)
         elif dedup_strategy == "semi":
-            dedup = lww_dedup_semi(batch_df, key)
+            dedup = lww_dedup_semi(batch_df, key, cleanup=_caches)
         else:
             dedup = lww_dedup(batch_df, key)
         if merge_partitions:
@@ -238,5 +239,10 @@ def apply_batch(
         for _df in ("dedup", "appliable"):
             try:
                 locals()[_df].unpersist()
+            except Exception:
+                pass
+        for _c in locals().get("_caches", []):
+            try:
+                _c.unpersist()
             except Exception:
                 pass

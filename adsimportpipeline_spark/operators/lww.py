@@ -76,6 +76,8 @@ def lww_dedup_semi(
     key: str = "url",
     order_cols: tuple[str, ...] = DEFAULT_ORDER,
     broadcast_keys: bool | None = None,
+    broadcast_max_keys: int = 20_000_000,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Payload-light LWW: argmax over the ordering keys only, then fetch the
     winning rows back with a semi-join.
@@ -88,17 +90,33 @@ def lww_dedup_semi(
     cluster scale it is the difference between shuffling 100 TB and
     shuffling 400 GB.
 
-    ``broadcast_keys``: ``None`` (default) leaves the join strategy to
-    Catalyst/AQE, which broadcasts iff the runtime size of the winner-key
-    set is under ``spark.sql.autoBroadcastJoinThreshold`` — a bulk replay
-    with 10^9 distinct keys gets a shuffled hash join instead of a driver
-    OOM.  ``True``/``False`` force the choice for tests.
+    ``broadcast_keys``: ``True``/``False`` force the join strategy.  The
+    default ``None`` MEASURES: the winner-key aggregate (tiny relative to
+    the payload) is materialized and counted, and the join broadcasts iff
+    the count is under ``broadcast_max_keys``, else falls back to a
+    shuffled join.  Deferring the choice to AQE instead would be too late —
+    AQE submits both shuffle stages of a sort-merge join before converting
+    it, so the full payload shuffle gets WRITTEN even when the runtime
+    stats would have chosen broadcast (measured: an avoidable 1.3 GB write
+    + read per 8M-event batch).  A bulk replay with 10^9 distinct keys
+    still takes the shuffled path — no driver OOM.
+
+    When the measured path persists the key aggregate, the cached DataFrame
+    is appended to ``cleanup`` (if given) so callers can unpersist after
+    the plan has executed.
     """
     order_struct = _order_struct(order_cols)
     keys = df.groupBy(key).agg(F.max(order_struct).alias("_w"))
-    if broadcast_keys is True:
+    if broadcast_keys is None:
+        from pyspark.storagelevel import StorageLevel
+
+        keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+        if cleanup is not None:
+            cleanup.append(keys)
+        broadcast_keys = keys.count() <= broadcast_max_keys
+    if broadcast_keys:
         keys = F.broadcast(keys)
-    elif broadcast_keys is False:
+    else:
         keys = keys.hint("shuffle_hash")
     matched = df.join(keys, key).filter(order_struct == F.col("_w")).drop("_w")
     # exact duplicate deliveries share (key, order_cols); collapse them

@@ -1162,6 +1162,27 @@ def q_multimodal_decode(spark, sf_dir):
     return out.select("doc_id", "media_type", "width", "height", "n_bytes")
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (mapInPandas UDTF-style fan-out: one
+    payload -> N sampled frame rows).  Frame ids are a pure function of the
+    payload length, so the fan-out shape has an exact SQL oracle."""
+    from ..functions.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = frame_sample(docs, every_n=2, id_col="doc_id", payload_col="payload")
+    return out.select("doc_id", "frame_idx")
+
+
+_MULTIMODAL_FRAMES_SQL = """
+WITH n AS (SELECT doc_id,
+                  greatest(octet_length(encode(coalesce(text, ''))) % 10, 1) AS n_frames
+           FROM documents)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_idx FROM n
+"""
+
+
 _MM_LEN = "octet_length(encode(coalesce(text, '')))"
 _MULTIMODAL_SQL = f"""
 SELECT doc_id, 'image' AS media_type,
@@ -1328,6 +1349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "lsh_ann_topk": q_lsh_ann_topk,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
     "cdc_final_state": q_cdc_final_state,
     "cdc_apply_replay": q_cdc_apply_replay,
 }
@@ -1378,6 +1400,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dups": _EMB_DUP_SQL,
     "lsh_ann_topk": _LSH_ANN_SQL,
     "multimodal_decode": _MULTIMODAL_SQL,
+    "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "cdc_final_state": _CDC_FINAL_SQL,
     "cdc_apply_replay": _CDC_FINAL_SQL,
 }

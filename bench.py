@@ -350,9 +350,17 @@ def main() -> None:
     weak_eff = (thr_high_med / weak_low_med) / ratio
 
     # --- headline queries at full parallelism ---------------------------
+    from pyspark.sql import functions as F
+
+    from adsimportpipeline_spark.functions.html import html_to_text
     from adsimportpipeline_spark.plans.driver_queries import QUERIES
 
     spark = _fresh_spark(CPUS, "bench-queries")
+    # steady-state timing: python workers (pandas import ~1s each) exist
+    # before the first timed query
+    spark.range(0, CPUS * 2, 1, CPUS * 2).select(
+        html_to_text(F.encode(F.lit("<p>warm</p>"), "utf-8"))
+    ).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:

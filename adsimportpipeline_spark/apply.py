@@ -98,13 +98,13 @@ def apply_batch(
             dedup = lww_dedup(batch_df, key)
         if merge_partitions:
             dedup = dedup.repartition(merge_partitions, key)
-        dedup = dedup.persist(StorageLevel.MEMORY_AND_DISK)
 
         # 2. bucket pruning: read only touched buckets of the target table.
         #    A bulk replay touches every bucket anyway — prune_buckets=False
         #    skips the discovery job (incremental micro-batches keep it: a
         #    small batch touching k buckets reads/rewrites only those k)
         if prune_buckets:
+            dedup = dedup.persist(StorageLevel.MEMORY_AND_DISK)
             touched = [
                 r[0]
                 for r in dedup.select(bucket_expr(key, nb).alias("b")).distinct().collect()
@@ -120,6 +120,12 @@ def apply_batch(
         # against provably-empty sides.
         has_current = any(m["buckets"].get(str(b)) for b in touched)
         has_tombs = bool(m["tombstone_files"])
+        # NOTE on caching: with pruning on, dedup is persisted above (it
+        # feeds both the touched-bucket discovery action and the merge
+        # plan).  Otherwise every downstream consumer flows through the
+        # single `appliable` plan, which is persisted below when it is more
+        # than a pass-through — caching dedup too would only add a
+        # write+read of every winner payload.
 
         # 3. stale filter: strictly-newer-than-stored (struct comparison is
         #    lexicographic on (warc_ts, log_offset) — the LWW order)
@@ -145,7 +151,9 @@ def apply_batch(
             if prune_buckets and len(touched) < nb:
                 tombs = tombs.filter(bucket_expr(key, nb).isin(touched))
             appliable = tombstone_guard(appliable, tombs, key)
-        if appliable is not dedup:
+        if has_current and appliable is not dedup:
+            # two consumers ahead (anti-join keys + upsert projection);
+            # without stored rows there is only the upsert path — no cache
             appliable = appliable.persist(StorageLevel.MEMORY_AND_DISK)
 
         applied_keys = appliable.select(key)

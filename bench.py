@@ -63,7 +63,7 @@ WEAK_TRIALS = 2
 
 #: overall wall budget (sec): extra pairs are dropped once exceeded so the
 #: bench always emits its JSON line instead of dying to an outer timeout
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "520"))
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
 _START = time.time()
 
 

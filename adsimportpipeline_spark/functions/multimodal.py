@@ -104,12 +104,20 @@ def decode_and_featurize(media: DataFrame, id_col: str = "doc_id", payload_col: 
             # the decode seam: per-item by nature (ragged output shapes)
             imgs = [_decode_image_stub(b) for b in payloads]
             feats = _featurize_stacked(imgs)
+            # dims come from the DECODED images, not the stub's byte-length
+            # formula — swapping the stub for a real codec keeps them honest
+            # (the SQL oracle encodes the stub formula and must change with it)
+            dims = (
+                np.array([im.shape[:2] for im in imgs], dtype=np.int32)
+                if imgs
+                else np.zeros((0, 2), np.int32)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64").to_numpy(),
                     "media_type": "image",
-                    "width": (n_bytes % 5 + 2).astype("int32").to_numpy(),
-                    "height": (n_bytes % 7 + 2).astype("int32").to_numpy(),
+                    "width": dims[:, 1],
+                    "height": dims[:, 0],
                     "n_bytes": n_bytes.to_numpy(),
                     "feature": list(feats),
                 }

@@ -317,8 +317,15 @@ class LakeTable:
         ``keep_last`` versions."""
         current = self.current_version()
         mdir = os.path.join(self.root, _MANIFEST_DIR)
+        # exact committed names only: a leftover 'vNNNNNNNN.json.tmp-*' from a
+        # crashed atomic write must neither duplicate a version nor be parsed
         versions = sorted(
-            int(f[1:9]) for f in os.listdir(mdir) if f.startswith("v")
+            {
+                int(f[1:9])
+                for f in os.listdir(mdir)
+                if len(f) == 14 and f.startswith("v") and f.endswith(".json")
+                and f[1:9].isdigit()
+            }
         )
         retained = [v for v in versions if v > current - keep_last]
         expired = [v for v in versions if v <= current - keep_last]
@@ -342,5 +349,8 @@ class LakeTable:
                     os.remove(p)
                 except OSError:
                     pass
-            os.remove(self._manifest_path(v))
+            try:
+                os.remove(self._manifest_path(v))
+            except OSError:
+                pass
         return expired

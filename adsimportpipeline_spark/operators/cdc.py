@@ -77,7 +77,7 @@ def tombstone_guard(
     """
     ts, off = order_cols
     latest = tombstones.groupBy(key).agg(
-        F.max(F.struct(F.col(ts).alias("ts"), F.col("log_offset").alias("off"))).alias("_tomb")
+        F.max(F.struct(F.col(ts).alias("ts"), F.col(off).alias("off"))).alias("_tomb")
     )
     j = incoming.join(latest, key, "left")
     keep = F.col("_tomb").isNull() | (

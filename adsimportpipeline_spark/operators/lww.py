@@ -76,7 +76,7 @@ def lww_dedup_semi(
     key: str = "url",
     order_cols: tuple[str, ...] = DEFAULT_ORDER,
     broadcast_keys: bool | None = None,
-    broadcast_max_keys: int = 20_000_000,
+    broadcast_max_keys: int = 4_000_000,
     cleanup: list | None = None,
 ) -> DataFrame:
     """Payload-light LWW: argmax over the ordering keys only, then fetch the
@@ -101,9 +101,19 @@ def lww_dedup_semi(
     + read per 8M-event batch).  A bulk replay with 10^9 distinct keys
     still takes the shuffled path — no driver OOM.
 
+    ``broadcast_max_keys`` gates on row count as a proxy for bytes: a
+    (key, order-struct) row is ~50-100 B, so the 4M default keeps the
+    replicated table in the low hundreds of MB — inside a default-sized
+    executor and of the same order as a generous
+    ``spark.sql.autoBroadcastJoinThreshold``.  Raise it only with the
+    executor memory to match.
+
     When the measured path persists the key aggregate, the cached DataFrame
     is appended to ``cleanup`` (if given) so callers can unpersist after
-    the plan has executed.
+    the plan has executed; with no ``cleanup`` list the cache is released
+    immediately after the count (the narrow key aggregate is recomputed at
+    join time — one extra pass over ~40 B/row, never a leaked cache entry
+    in a long-lived session).
     """
     order_struct = _order_struct(order_cols)
     keys = df.groupBy(key).agg(F.max(order_struct).alias("_w"))
@@ -111,9 +121,11 @@ def lww_dedup_semi(
         from pyspark.storagelevel import StorageLevel
 
         keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_keys = keys.count() <= broadcast_max_keys
         if cleanup is not None:
             cleanup.append(keys)
-        broadcast_keys = keys.count() <= broadcast_max_keys
+        else:
+            keys.unpersist(blocking=False)
     if broadcast_keys:
         keys = F.broadcast(keys)
     else:

@@ -268,7 +268,7 @@ def q_record_merge(spark, sf_dir):
         F.col("ts").alias("modtime"),
         F.col("event_id").alias("offset"),
     )
-    return record_merge(
+    out = record_merge(
         blocks,
         rules={
             "title": "origin_trust",
@@ -278,6 +278,15 @@ def q_record_merge(spark, sf_dir):
         },
         key="user_id",
         priority_map=EVENT_PRIORITIES,
+    )
+    # array columns projected to delimited strings so the driver's
+    # canonicalizer can hash them (same pattern as q_take_all)
+    return out.select(
+        "user_id",
+        "title",
+        F.array_join("keywords", "|").alias("keywords"),
+        F.array_join("doi", "|").alias("doi"),
+        "refereed",
     )
 
 
@@ -317,7 +326,10 @@ doi_l AS (SELECT user_id, list(value ORDER BY np, o, value) AS doi FROM d1 GROUP
 rf AS (SELECT user_id, max(value::BOOLEAN) AS refereed FROM blocks
        WHERE field = 'refereed' GROUP BY user_id),
 base AS (SELECT DISTINCT user_id FROM blocks)
-SELECT b.user_id, t.title, k.keywords, d.doi, r.refereed
+SELECT b.user_id, t.title,
+       array_to_string(k.keywords, '|') AS keywords,
+       array_to_string(d.doi, '|') AS doi,
+       r.refereed
 FROM base b
 LEFT JOIN title_w t USING (user_id)
 LEFT JOIN kw k USING (user_id)
@@ -565,10 +577,16 @@ def q_language_schema(spark, sf_dir):
         ),
     )
     norm = ensure_language_schema(plain, structs)
+    # delimited-string projection (null elements get a sentinel) so the
+    # driver's canonicalizer can hash the parallel arrays
     return docs.select(
         "doc_id",
-        F.transform(norm, lambda s: s["lang"]).alias("langs"),
-        F.transform(norm, lambda s: s["text"]).alias("texts"),
+        F.array_join(
+            F.transform(norm, lambda s: F.coalesce(s["lang"], F.lit("<NULL>"))), "|"
+        ).alias("langs"),
+        F.array_join(
+            F.transform(norm, lambda s: F.coalesce(s["text"], F.lit("<NULL>"))), "|"
+        ).alias("texts"),
     )
 
 
@@ -585,8 +603,10 @@ _LANG_SCHEMA_NORM = ensure_language_schema_sql(
 )
 _LANG_SCHEMA_SQL = f"""
 SELECT doc_id,
-       list_transform({_LANG_SCHEMA_NORM}, s -> s.lang) AS langs,
-       list_transform({_LANG_SCHEMA_NORM}, s -> s.text) AS texts
+       array_to_string(list_transform({_LANG_SCHEMA_NORM},
+                                      s -> coalesce(s.lang, '<NULL>')), '|') AS langs,
+       array_to_string(list_transform({_LANG_SCHEMA_NORM},
+                                      s -> coalesce(s.text, '<NULL>')), '|') AS texts
 FROM documents
 """
 
@@ -687,7 +707,8 @@ def q_positional_zip(spark, sf_dir):
     )
     kept = positional_zip_filter(words, types, lambda c: c == "even")
     return docs.select(
-        "doc_id", F.when(F.size(kept) > 0, kept).alias("kept_words")
+        "doc_id",
+        F.when(F.size(kept) > 0, F.array_join(kept, "|")).alias("kept_words"),
     )
 
 
@@ -713,7 +734,7 @@ def q_typed_element_filter(spark, sf_dir):
     n_links = F.size(F.filter(authors, lambda x: x["atype"] == "other"))
     return docs.select(
         "doc_id",
-        F.when(F.size(names) > 0, names).alias("kept_names"),
+        F.when(F.size(names) > 0, F.array_join(names, "|")).alias("kept_names"),
         n_links.cast("int").alias("n_other"),
     )
 
@@ -729,7 +750,7 @@ WITH w AS (
   FROM documents)
 SELECT doc_id,
        CASE WHEN len(list_filter(authors, x -> x.atype IN ('regular','collaboration'))) > 0
-            THEN list_transform(list_filter(authors, x -> x.atype IN ('regular','collaboration')), x -> x.name)
+            THEN array_to_string(list_transform(list_filter(authors, x -> x.atype IN ('regular','collaboration')), x -> x.name), '|')
             END AS kept_names,
        len(list_filter(authors, x -> x.atype = 'other'))::INT AS n_other
 FROM w
@@ -740,7 +761,7 @@ _POSITIONAL_ZIP_SQL = r"""
 WITH w AS (SELECT doc_id, (regexp_split_to_array(trim(text), '\s+'))[1:6] AS words
            FROM documents),
 z AS (SELECT doc_id, unnest(words) AS wd, generate_subscripts(words, 1) AS pos FROM w)
-SELECT d.doc_id, k.kept_words
+SELECT d.doc_id, array_to_string(k.kept_words, '|') AS kept_words
 FROM documents d LEFT JOIN (
   SELECT doc_id, list(wd ORDER BY pos) AS kept_words
   FROM z WHERE length(wd) % 2 = 0 GROUP BY doc_id) k USING (doc_id)
@@ -1282,13 +1303,27 @@ def q_cdc_apply_replay(spark, sf_dir):
     tombstone audit, stale filter, copy-on-write commit), then read the
     committed final state back.  Same oracle shape as the flagship — the
     oracle verifies the *storage engine*, not just the expression."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..apply import apply_batch, pages_schema_for
     from ..lake.table import LakeTable
 
     changes = change_stream_from_events(spark, sf_dir)
+    # at most ONE replay table alive: drop the previous invocation's dir
+    # (its DataFrame is consumed by then) and rmtree the last one at exit
+    prev = getattr(q_cdc_apply_replay, "_scratch", None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
     root = tempfile.mkdtemp(prefix="cdc-apply-oracle-")
+    if prev is None:
+        atexit.register(
+            lambda: shutil.rmtree(
+                getattr(q_cdc_apply_replay, "_scratch", root), ignore_errors=True
+            )
+        )
+    q_cdc_apply_replay._scratch = root
     table = LakeTable.create(
         spark, root, pages_schema_for(changes.schema), n_buckets=16
     )

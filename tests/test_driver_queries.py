@@ -42,9 +42,17 @@ def ddb(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, sf_dir, ddb, name):
+    import pandas as pd
+
     sdf = QUERIES[name](spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+
+    # harness-faithful canonicalization: the driver's _canon does a pandas
+    # sort_values over every column, which raises on unhashable (array)
+    # values — mirror it so array-typed outputs fail HERE, not at the driver
+    if srows:
+        pd.DataFrame(srows, columns=scols).sort_values(by=sorted(scols))
 
     res = ddb.execute(ORACLES[name])
     ocols = [d[0] for d in res.description]

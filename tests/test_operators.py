@@ -245,3 +245,30 @@ def test_textstats_basics(spark):
     assert out[3]["lang"] == "und" and out[3]["n"] == 0
     assert out[1]["n"] == 8
     assert 0.0 <= out[1]["q"] <= 1.0
+
+
+def test_tombstone_guard_custom_order_cols(spark):
+    """tombstone_guard must honor non-default order_cols for BOTH legs of the
+    (ts, offset) comparison — a caller with (ts, event_id) columns gets the
+    same stale-vs-resurrect semantics, no hardcoded 'log_offset' anywhere."""
+    from adsimportpipeline_spark.operators.cdc import tombstone_guard
+
+    incoming = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 2), 10),  # newer than tomb -> kept
+            ("u2", datetime(2024, 1, 1), 5),   # same ts, lower id -> dropped
+            ("u3", datetime(2024, 1, 1), 9),   # same ts, higher id -> kept
+            ("u4", datetime(2024, 1, 1), 1),   # no tombstone -> kept
+        ],
+        "url string, ts timestamp, event_id long",
+    )
+    tombs = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 1), 99),
+            ("u2", datetime(2024, 1, 1), 7),
+            ("u3", datetime(2024, 1, 1), 7),
+        ],
+        "url string, ts timestamp, event_id long",
+    )
+    out = tombstone_guard(incoming, tombs, key="url", order_cols=("ts", "event_id"))
+    assert sorted(r["url"] for r in out.collect()) == ["u1", "u3", "u4"]

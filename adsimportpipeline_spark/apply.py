@@ -25,18 +25,20 @@ DataFrame plan executed per micro-batch inside ``foreachBatch``:
 from __future__ import annotations
 
 import time
+from collections.abc import Iterator
 from datetime import datetime, timezone
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from .evolve import align_to_schema, reconcile_schema
-from .functions.html import html_to_text
+from .functions.html import _extract_series, html_to_text
 from .lake.table import LakeTable, bucket_expr
 from .operators.cdc import tombstone_guard
-from .operators.lww import lww_dedup, lww_dedup_salted, lww_dedup_semi
+from .operators.lww import lww_dedup, lww_dedup_salted, lww_dedup_semi, lww_winner_rows
 from .schema import LINEAGE_SCHEMA, OP_DELETE, TOMBSTONE_SCHEMA
 
 
@@ -53,6 +55,62 @@ def pages_schema_for(batch_schema: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
+def _bulk_upserts(
+    batch_df: DataFrame,
+    key: str,
+    n_buckets: int,
+    target_schema: T.StructType,
+    cleanup: list,
+) -> DataFrame:
+    """Fresh-table bulk apply: winner rows -> ONE bucket-keyed payload shuffle
+    -> in-partition duplicate collapse + HTML->text in a single Arrow pass.
+
+    The general path pays two winner-payload shuffles (the LWW collapse keyed
+    by url, then the write's repartition keyed by bucket) plus a separate
+    Arrow round-trip for extraction.  But bucket = f(url), so one shuffle
+    keyed by bucket already co-locates every url's duplicate deliveries in
+    one partition — the collapse becomes a vectorized in-partition
+    ``drop_duplicates`` fused into the same ``mapInPandas`` pass that
+    extracts text.  Net: half the payload shuffle bytes, one Arrow hop.
+
+    Correct only when exact duplicates are the ONLY multiplicity left, i.e.
+    after :func:`lww_winner_rows` (winner rows share the max
+    (warc_ts, log_offset), and log_offset uniquely identifies an event, so
+    co-keyed rows are byte-identical deliveries — keeping any one is LWW).
+    """
+    winners = lww_winner_rows(batch_df, key, cleanup=cleanup)
+    upserts = winners.filter(F.col("op") != OP_DELETE).drop("op")
+    # AQE-coalesced repartition: measured A/B against explicit counts
+    # (16/32/128) — the coalesced ~12 partitions match or beat all of them
+    # (the stage is bandwidth- not straggler-bound at this scale)
+    tagged = upserts.withColumn("_bucket", bucket_expr(key, n_buckets)).repartition(
+        F.col("_bucket")
+    )
+
+    in_cols = [f.name for f in tagged.schema.fields if f.name != "_bucket"]
+    out_fields = []
+    for f in tagged.schema.fields:
+        if f.name == "_bucket":
+            continue
+        out_fields.append(f)
+        if f.name == "html":
+            out_fields.append(T.StructField("text", T.StringType(), True))
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def _collapse_and_extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: set = set()  # urls of THIS partition only (one bucket group)
+        for pdf in it:
+            fresh = pdf.loc[(~pdf[key].duplicated()) & (~pdf[key].isin(seen)), in_cols]
+            if len(fresh):
+                seen.update(fresh[key].tolist())
+                fresh = fresh.assign(text=_extract_series(fresh["html"]))
+                yield fresh[out_cols]
+
+    final = tagged.mapInPandas(_collapse_and_extract, out_schema)
+    return align_to_schema(final, target_schema)
+
+
 def apply_batch(
     table: LakeTable,
     batch_df: DataFrame,
@@ -64,9 +122,20 @@ def apply_batch(
     dedup_strategy: str = "semi",
     prune_buckets: bool = True,
     compact_appends_every: int = 32,
+    decision_col: str | None = None,
 ) -> dict:
     """Apply one micro-batch of change events. Returns stats. Idempotent:
-    re-delivery of an already-committed batch_id is a no-op."""
+    re-delivery of an already-committed batch_id is a no-op.
+
+    ``decision_col`` names a pre-resolution column (the stateful in-stream
+    LWW operator's ``decision``): only rows marked ``'apply'`` are applied,
+    and — because the state store already guarantees each such row is
+    strictly newer than everything previously seen for its url — the
+    stale-filter and tombstone-guard joins against the stored table are
+    skipped entirely (the operator's whole point: per-batch work stays
+    proportional to the batch, not the table).  The tombstone audit still
+    sees EVERY delete delivery, resolved or not (reference app.py:15-21
+    appends every delete)."""
     if batch_id <= table.last_epoch(epoch_source):
         return {"batch_id": batch_id, "skipped": True}
 
@@ -79,95 +148,118 @@ def apply_batch(
 
     m = table.manifest()
     key, nb = m["key"], m["n_buckets"]
-    # batch_df is deliberately NOT cached: its three passes (lineage stats,
-    # dedup, tombstone scan) each prune to a few columns, so columnar re-reads
-    # from the source beat materializing the full rows on the heap
+    # batch_df is deliberately NOT cached: its passes (touched discovery,
+    # lineage stats, dedup, tombstone scan) each prune to a few columns, so
+    # columnar re-reads from the source beat materializing full rows on heap
+    _caches: list = []
+    persisted: list = []
     try:
         _mark("lineage_stats")
 
-        # 1. in-batch LWW dedup (explicit salting optional per north_rule);
-        #    persisted — reused by bucket discovery AND the merge join, so the
-        #    big groupBy shuffle runs once.  'semi' shuffles ordering keys
-        #    only (payloads of losing events never move).
-        _caches: list = []
-        if salted:
-            dedup = lww_dedup_salted(batch_df, key, n_salts=n_salts)
-        elif dedup_strategy == "semi":
-            dedup = lww_dedup_semi(batch_df, key, cleanup=_caches)
-        else:
-            dedup = lww_dedup(batch_df, key)
-        if merge_partitions:
-            dedup = dedup.repartition(merge_partitions, key)
+        # pre-resolved mode: only 'apply' rows flow to the merge; the raw
+        # batch is kept for the tombstone audit + lineage stats
+        resolved = (
+            batch_df.filter(F.col(decision_col) == "apply").drop(decision_col)
+            if decision_col
+            else batch_df
+        )
 
-        # 2. bucket pruning: read only touched buckets of the target table.
-        #    A bulk replay touches every bucket anyway — prune_buckets=False
-        #    skips the discovery job (incremental micro-batches keep it: a
-        #    small batch touching k buckets reads/rewrites only those k)
+        # 1. bucket pruning: which table buckets does this batch touch?
+        #    Discovered from the RAW batch (same distinct url set as the
+        #    dedup output — a narrow url-column scan, so the deduped payload
+        #    never needs persisting just for discovery).  A bulk replay
+        #    touches every bucket anyway — prune_buckets=False skips the job.
         if prune_buckets:
-            dedup = dedup.persist(StorageLevel.MEMORY_AND_DISK)
             touched = [
                 r[0]
-                for r in dedup.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+                for r in resolved.select(bucket_expr(key, nb).alias("b")).distinct().collect()
             ]
         else:
             touched = list(range(nb))
-        _mark("dedup_and_touched")
-        evolved = reconcile_schema(table.schema(m), pages_schema_for(batch_df.schema))
-        current = align_to_schema(table.read_buckets(touched, m), evolved)
         # manifest-level emptiness: a fresh table / bulk first replay has no
         # stored rows and no tombstones — skip the stale-filter and guard
         # joins outright instead of shuffling every winner (wide rows!)
-        # against provably-empty sides.
+        # against provably-empty sides.  With pre-resolved rows the state
+        # store already proved strictly-newer, so both joins are skipped
+        # even against a populated table.
         has_current = any(m["buckets"].get(str(b)) for b in touched)
         has_tombs = bool(m["tombstone_files"])
-        # NOTE on caching: with pruning on, dedup is persisted above (it
-        # feeds both the touched-bucket discovery action and the merge
-        # plan).  Otherwise every downstream consumer flows through the
-        # single `appliable` plan, which is persisted below when it is more
-        # than a pass-through — caching dedup too would only add a
-        # write+read of every winner payload.
+        need_stale_filter = has_current and not decision_col
+        need_guard = has_tombs and not decision_col
+        evolved = reconcile_schema(table.schema(m), pages_schema_for(resolved.schema))
+        _mark("dedup_and_touched")
 
-        # 3. stale filter: strictly-newer-than-stored (struct comparison is
-        #    lexicographic on (warc_ts, log_offset) — the LWW order)
-        if has_current:
-            stored = current.select(
-                F.col(key),
-                F.struct(F.col("warc_ts").alias("ts"), F.col("log_offset").alias("off")).alias("_stored"),
-            )
-            j = dedup.join(stored, key, "left")
-            newer = F.col("_stored").isNull() | (
-                F.struct(F.col("warc_ts").alias("ts"), F.col("log_offset").alias("off")) > F.col("_stored")
-            )
-            appliable = j.filter(newer).drop("_stored")
+        if (
+            not has_current
+            and not need_guard
+            and not salted
+            and dedup_strategy == "semi"
+            and not merge_partitions
+        ):
+            # FUSED bulk path: no stored rows and no guard means the
+            # stale filter and guard are provably no-ops — winner rows go
+            # through one bucket-keyed shuffle with the duplicate collapse
+            # and text extraction fused into a single Arrow pass.
+            new_data = _bulk_upserts(resolved, key, nb, evolved, _caches)
+            pre_partitioned = True
         else:
-            appliable = dedup
+            pre_partitioned = False
+            # 2. in-batch LWW dedup (explicit salting optional per
+            #    north_rule).  'semi' shuffles ordering keys only (payloads
+            #    of losing events never move).
+            if salted:
+                dedup = lww_dedup_salted(resolved, key, n_salts=n_salts)
+            elif dedup_strategy == "semi":
+                dedup = lww_dedup_semi(resolved, key, cleanup=_caches)
+            else:
+                dedup = lww_dedup(resolved, key)
+            if merge_partitions:
+                dedup = dedup.repartition(merge_partitions, key)
 
-        # 4. resurrection guard vs prior-batch tombstones.  Tombstones are
-        #    pruned to the batch's touched buckets first: the guard then
-        #    joins against a slice proportional to the batch, not the
-        #    table's whole delete history (join strategy left to AQE).
-        if has_tombs:
-            tombs = table.read_tombstones(TOMBSTONE_SCHEMA).withColumnRenamed("deleted_ts", "warc_ts")
-            if prune_buckets and len(touched) < nb:
-                tombs = tombs.filter(bucket_expr(key, nb).isin(touched))
-            appliable = tombstone_guard(appliable, tombs, key)
-        if has_current and appliable is not dedup:
-            # two consumers ahead (anti-join keys + upsert projection);
-            # without stored rows there is only the upsert path — no cache
-            appliable = appliable.persist(StorageLevel.MEMORY_AND_DISK)
+            current = align_to_schema(table.read_buckets(touched, m), evolved)
 
-        applied_keys = appliable.select(key)
-        upserts = (
-            appliable.filter(F.col("op") != OP_DELETE)
-            .withColumn("text", html_to_text(F.col("html")))
-        )
-        upserts = align_to_schema(upserts, evolved)
+            # 3. stale filter: strictly-newer-than-stored (struct comparison
+            #    is lexicographic on (warc_ts, log_offset) — the LWW order)
+            if need_stale_filter:
+                stored = current.select(
+                    F.col(key),
+                    F.struct(F.col("warc_ts").alias("ts"), F.col("log_offset").alias("off")).alias("_stored"),
+                )
+                j = dedup.join(stored, key, "left")
+                newer = F.col("_stored").isNull() | (
+                    F.struct(F.col("warc_ts").alias("ts"), F.col("log_offset").alias("off")) > F.col("_stored")
+                )
+                appliable = j.filter(newer).drop("_stored")
+            else:
+                appliable = dedup
 
-        # 5. copy-on-write: survivors of touched buckets + applied upserts
-        if has_current:
-            new_data = current.join(applied_keys, key, "left_anti").unionByName(upserts)
-        else:
-            new_data = upserts
+            # 4. resurrection guard vs prior-batch tombstones.  Tombstones
+            #    are pruned to the batch's touched buckets first: the guard
+            #    then joins against a slice proportional to the batch, not
+            #    the table's whole delete history (strategy left to AQE).
+            if need_guard:
+                tombs = table.read_tombstones(TOMBSTONE_SCHEMA).withColumnRenamed("deleted_ts", "warc_ts")
+                if prune_buckets and len(touched) < nb:
+                    tombs = tombs.filter(bucket_expr(key, nb).isin(touched))
+                appliable = tombstone_guard(appliable, tombs, key)
+            if has_current and appliable is not dedup:
+                # two consumers ahead (anti-join keys + upsert projection);
+                # without stored rows there is only the upsert path — no cache
+                appliable = appliable.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted.append(appliable)
+
+            applied_keys = appliable.select(key)
+            upserts = (
+                appliable.filter(F.col("op") != OP_DELETE)
+                .withColumn("text", html_to_text(F.col("html")))
+            )
+            upserts = align_to_schema(upserts, evolved)
+
+            # 5. copy-on-write: survivors of touched buckets + applied upserts
+            if has_current:
+                new_data = current.join(applied_keys, key, "left_anti").unionByName(upserts)
+            else:
+                new_data = upserts
 
         # 6. tombstone audit: every delete event in the batch (reference
         #    app.py:15-21 appends every delete to change_log).  Anti-join
@@ -225,6 +317,7 @@ def apply_batch(
             new_schema=evolved,
             tombstone_appends=tomb_appends,
             lineage_appends=lineage_df,
+            pre_partitioned=pre_partitioned,
         )
         _mark("commit_write")
         # periodic fold of the append-only tombstone/lineage branches keeps
@@ -244,12 +337,7 @@ def apply_batch(
             "committed_at": datetime.now(timezone.utc).isoformat(),
         }
     finally:
-        for _df in ("dedup", "appliable"):
-            try:
-                locals()[_df].unpersist()
-            except Exception:
-                pass
-        for _c in locals().get("_caches", []):
+        for _c in persisted + _caches:
             try:
                 _c.unpersist()
             except Exception:

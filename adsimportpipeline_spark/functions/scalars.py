@@ -57,6 +57,32 @@ def ensure_language_schema_sql(plain: str, structs: str) -> str:
     )
 
 
+# ------------------------------------------------------------------- F4
+
+def ensure_list(scalar: Column, arr: Column, element_type: str = "string") -> Column:
+    """F4 ensureList (enforce_schema.py:40-43): None -> [], scalar -> [scalar],
+    list passes through.
+
+    A Spark column has one static type, so the ragged shapes arrive as two
+    columns — at most one non-null per row (the relational encoding of the
+    reference's isinstance branch, same convention as
+    :func:`ensure_language_schema`).
+    """
+    return F.coalesce(
+        arr,
+        F.when(scalar.isNotNull(), F.array(scalar)),
+        F.array().cast(f"array<{element_type}>"),
+    )
+
+
+def ensure_list_sql(scalar: str, arr: str) -> str:
+    """DuckDB twin of :func:`ensure_list`."""
+    return (
+        f"coalesce({arr}, CASE WHEN {scalar} IS NOT NULL THEN [{scalar}] END, "
+        f"[]::VARCHAR[])"
+    )
+
+
 # ------------------------------------------------------------------- F7
 
 #: hosts whose 4-char stem spills into the 5th position (the analog of the

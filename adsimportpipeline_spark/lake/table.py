@@ -210,11 +210,18 @@ class LakeTable:
         new_schema: T.StructType | None = None,
         tombstone_appends: DataFrame | None = None,
         lineage_appends: DataFrame | None = None,
+        pre_partitioned: bool = False,
     ) -> int:
         """Copy-on-write commit: replace the file groups of ``touched_buckets``
         with ``new_data`` (which must contain only rows of those buckets),
         carry everything else forward, append tombstones/lineage, record the
-        commit epoch — all in one atomic manifest flip."""
+        commit epoch — all in one atomic manifest flip.
+
+        ``pre_partitioned=True`` asserts the caller already shuffled
+        ``new_data`` so each url's rows are co-located by
+        ``bucket_expr(key, n_buckets)`` (the fused bulk apply path does);
+        the write then skips its own repartition — no second payload
+        shuffle."""
         m = self.manifest()
         key, nb = m["key"], m["n_buckets"]
 
@@ -232,7 +239,9 @@ class LakeTable:
         # interleaves their tasks, so the small appends ride along instead of
         # serializing after the big write (atomicity is unaffected: nothing
         # is visible until the single manifest flip below).
-        tagged = new_data.withColumn("_bucket", bucket_expr(key, nb)).repartition(F.col("_bucket"))
+        tagged = new_data.withColumn("_bucket", bucket_expr(key, nb))
+        if not pre_partitioned:
+            tagged = tagged.repartition(F.col("_bucket"))
         d = os.path.join(self.root, "data", f"c-{uuid.uuid4().hex[:12]}")
 
         def _write_main() -> None:

@@ -225,8 +225,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Cosine >= threshold pairs via brute self-join (correctness baseline;
-    the scale path buckets by LSH hyperplane signs first — see
-    operators.similarity.lsh_ann)."""
+    the scale path is :func:`embedding_near_dups_lsh`)."""
     from .similarity import cosine_expr
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -235,4 +234,80 @@ def embedding_near_dups(
     return (
         j.select("id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Cosine >= threshold pairs via multi-table hyperplane-LSH bucketing —
+    the 100 TB shape of :func:`embedding_near_dups`.
+
+    Candidate pairs come only from vectors sharing a bucket in AT LEAST ONE
+    of ``n_tables`` independent hash tables (table t uses hyperplanes
+    ``[t*n_planes, (t+1)*n_planes)``); candidates are deduplicated across
+    tables and then cosine-VERIFIED, so precision is exact and only recall
+    is approximate — the same candidates-only discipline as MinHash-LSH
+    (and as the reference's cost-matrix pruning, author_match.py:318-363).
+
+    Scale shape: the self-join is per-(table, bucket) — the corpus never
+    cross-joins, each bucket joins only itself, and adding tables multiplies
+    candidate volume linearly while recall loss decays exponentially.
+    """
+    from .similarity import cosine_expr, lsh_bucket
+
+    stacked = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            F.array(*[
+                # table t gets its own independent plane set via plane-index
+                # offset — same indexing the SQL twin uses
+                F.concat(F.lit(f"{t}:"), lsh_bucket_offset(vec_col, n_planes, dim, t).cast("string"))
+                for t in range(n_tables)
+            ])
+        ).alias("_tb"),
+    )
+    a = stacked.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), "_tb")
+    b = stacked.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), "_tb")
+    cand = (
+        a.join(b, ["_tb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_bucket_offset(vec_col: str, n_planes: int, dim: int, table: int):
+    """LSH bucket over planes [table*n_planes, (table+1)*n_planes) — the
+    independent plane set of hash table ``table``."""
+    from .similarity import hyperplane_expr
+
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        bucket = bucket + hyperplane_expr(vec_col, table * n_planes + i, dim) * F.lit(2**i)
+    return bucket.cast("int")
+
+
+def lsh_bucket_offset_sql(vec_expr: str, n_planes: int, dim: int, table: int) -> str:
+    """SQL twin of :func:`lsh_bucket_offset` (bit-identical sign bits)."""
+    from .similarity import hyperplane_sql
+
+    return (
+        "CAST("
+        + " + ".join(
+            f"({hyperplane_sql(vec_expr, table * n_planes + i, dim)}) * {2 ** i}"
+            for i in range(n_planes)
+        )
+        + " AS INTEGER)"
     )

@@ -71,7 +71,7 @@ def lww_dedup_salted(
     return lww_dedup(pre, key=key, order_cols=order_cols)
 
 
-def lww_dedup_semi(
+def lww_winner_rows(
     df: DataFrame,
     key: str = "url",
     order_cols: tuple[str, ...] = DEFAULT_ORDER,
@@ -79,8 +79,10 @@ def lww_dedup_semi(
     broadcast_max_keys: int = 4_000_000,
     cleanup: list | None = None,
 ) -> DataFrame:
-    """Payload-light LWW: argmax over the ordering keys only, then fetch the
-    winning rows back with a semi-join.
+    """Payload-light LWW core: argmax over the ordering keys only, then fetch
+    the winning rows back with a semi-join.  Returns each key's winning rows
+    INCLUDING exact duplicate deliveries of the winner (rows sharing the
+    max (key, order_cols)); use :func:`lww_dedup_semi` for one row per key.
 
     The default :func:`lww_dedup` shuffles every event's full payload (html
     blobs!); this variant shuffles only ``(key, order_cols)`` (~40 bytes/row)
@@ -91,15 +93,18 @@ def lww_dedup_semi(
     shuffling 400 GB.
 
     ``broadcast_keys``: ``True``/``False`` force the join strategy.  The
-    default ``None`` MEASURES: the winner-key aggregate (tiny relative to
-    the payload) is materialized and counted, and the join broadcasts iff
-    the count is under ``broadcast_max_keys``, else falls back to a
-    shuffled join.  Deferring the choice to AQE instead would be too late —
-    AQE submits both shuffle stages of a sort-merge join before converting
-    it, so the full payload shuffle gets WRITTEN even when the runtime
-    stats would have chosen broadcast (measured: an avoidable 1.3 GB write
-    + read per 8M-event batch).  A bulk replay with 10^9 distinct keys
-    still takes the shuffled path — no driver OOM.
+    default ``None`` MEASURES: a cheap ``approx_count_distinct`` pass over
+    the key column alone (no shuffle, no agg materialization — the HLL
+    sketch's ±5% is noise against a 4M threshold) decides, and the join
+    broadcasts iff the estimate is under ``broadcast_max_keys``, else falls
+    back to a shuffled join.  With broadcast chosen, the winner-key
+    aggregate itself then runs INSIDE the main job's broadcast exchange —
+    one job total, nothing persisted.  Deferring the choice to AQE instead
+    would be too late — AQE submits both shuffle stages of a sort-merge
+    join before converting it, so the full payload shuffle gets WRITTEN
+    even when the runtime stats would have chosen broadcast (measured: an
+    avoidable 1.3 GB write + read per 8M-event batch).  A bulk replay with
+    10^9 distinct keys still takes the shuffled path — no driver OOM.
 
     ``broadcast_max_keys`` gates on row count as a proxy for bytes: a
     (key, order-struct) row is ~50-100 B, so the 4M default keeps the
@@ -108,30 +113,46 @@ def lww_dedup_semi(
     ``spark.sql.autoBroadcastJoinThreshold``.  Raise it only with the
     executor memory to match.
 
-    When the measured path persists the key aggregate, the cached DataFrame
-    is appended to ``cleanup`` (if given) so callers can unpersist after
-    the plan has executed; with no ``cleanup`` list the cache is released
-    immediately after the count (the narrow key aggregate is recomputed at
-    join time — one extra pass over ~40 B/row, never a leaked cache entry
-    in a long-lived session).
+    ``cleanup`` is kept for API compatibility; the measured path no longer
+    persists anything.
     """
     order_struct = _order_struct(order_cols)
     keys = df.groupBy(key).agg(F.max(order_struct).alias("_w"))
     if broadcast_keys is None:
-        from pyspark.storagelevel import StorageLevel
-
-        keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
-        broadcast_keys = keys.count() <= broadcast_max_keys
-        if cleanup is not None:
-            cleanup.append(keys)
-        else:
-            keys.unpersist(blocking=False)
+        n_keys = df.select(F.approx_count_distinct(key).alias("n")).first()["n"]
+        broadcast_keys = n_keys <= broadcast_max_keys
     if broadcast_keys:
         keys = F.broadcast(keys)
     else:
         keys = keys.hint("shuffle_hash")
-    matched = df.join(keys, key).filter(order_struct == F.col("_w")).drop("_w")
-    # exact duplicate deliveries share (key, order_cols); collapse them
+    return df.join(keys, key).filter(order_struct == F.col("_w")).drop("_w")
+
+
+def lww_dedup_semi(
+    df: DataFrame,
+    key: str = "url",
+    order_cols: tuple[str, ...] = DEFAULT_ORDER,
+    broadcast_keys: bool | None = None,
+    broadcast_max_keys: int = 4_000_000,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """:func:`lww_winner_rows` + collapse of exact duplicate deliveries
+    (rows sharing (key, order_cols) are identical payloads by the log's
+    offset-uniqueness, so any winner among them is THE winner).
+
+    Callers that already need a payload shuffle downstream (e.g. the bulk
+    apply path repartitioning by storage bucket) should take
+    :func:`lww_winner_rows` and fold the duplicate-collapse into that
+    shuffle instead of paying this one — see ``apply._bulk_upserts``.
+    """
+    matched = lww_winner_rows(
+        df,
+        key=key,
+        order_cols=order_cols,
+        broadcast_keys=broadcast_keys,
+        broadcast_max_keys=broadcast_max_keys,
+        cleanup=cleanup,
+    )
     return lww_dedup(matched, key=key, order_cols=order_cols)
 
 

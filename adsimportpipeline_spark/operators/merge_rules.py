@@ -109,6 +109,37 @@ def origin_trust_merge(
     return out.select(key, *[F.col(f"w.{c}").alias(c) for c in payload])
 
 
+def merge_text(
+    df: DataFrame,
+    key: str,
+    content_col: str,
+    origin_col: str,
+    priority_map: dict[str, float],
+    modtime_col: str,
+    offset_col: str | None = None,
+) -> DataFrame:
+    """A11 mergeText (merger.py:83-104): fold a text field's blocks to one
+    ``(content, provider, modtime)`` per key via the pairwise
+    ``_getBestOrigin`` cascade — which is exactly the
+    :func:`origin_trust_merge` fold applied to a text column, projected to
+    the reference's output shape (merger.py:99-101)."""
+    out = origin_trust_merge(
+        df,
+        key=key,
+        origin_col=origin_col,
+        priority_map=priority_map,
+        modtime_col=modtime_col,
+        content_col=content_col,
+        offset_col=offset_col,
+    )
+    return out.select(
+        key,
+        F.col(content_col).alias("content"),
+        F.col(origin_col).alias("provider"),
+        F.col(modtime_col).alias("modtime"),
+    )
+
+
 def _first_occurrence_dedup(
     df: DataFrame, key: str, value_col: str, order_col: Column, out_col: str
 ) -> DataFrame:

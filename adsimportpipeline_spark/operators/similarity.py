@@ -123,35 +123,61 @@ def lsh_ann_topk(
     n_planes: int = 4,
     dim: int = 64,
     multi_probe: bool = False,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+    """Approximate top-k: score only vectors sharing an LSH bucket with the
+    query in at least one hash table.
 
     At 10^10 vectors this turns the scan into a bucket-pruned join
-    (2^n_planes buckets).  ``multi_probe=True`` additionally probes every
-    bucket at Hamming distance 1 from the query's (the standard multi-probe
-    LSH recall lever: n_planes+1 of 2^n_planes buckets scanned instead of
-    1 — still a 1/(2^n_planes/(n_planes+1)) pruning at scale).
+    (2^n_planes buckets per table).  Two independent recall levers compose:
+
+    - ``multi_probe=True`` additionally probes every bucket at Hamming
+      distance 1 from the query's (n_planes+1 of 2^n_planes buckets scanned
+      instead of 1 — still strong pruning at scale);
+    - ``n_tables>1`` unions candidates from independent hyperplane sets
+      (table t uses planes ``[t*n_planes, (t+1)*n_planes)`` — standard
+      multi-table LSH: miss probability decays exponentially in tables while
+      candidate volume grows only linearly).
+
+    Candidates are deduplicated before scoring, so the result is exactly
+    "top-k over the union candidate set" — precision exact, recall the only
+    approximation.
     """
+    def _table_bucket(t: int) -> Column:
+        bucket = F.lit(0)
+        for i in range(n_planes):
+            bucket = bucket + hyperplane_expr(vec_col, t * n_planes + i, dim) * F.lit(2**i)
+        return bucket.cast("int")
+
+    # one row per (vector, table): bucket ids namespaced by table
     vb = vectors.select(
-        F.col(id_col), F.col(vec_col).alias("_v"), lsh_bucket(vec_col, n_planes, dim).alias("_bkt")
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{t}:"), _table_bucket(t).cast("string"))
+                for t in range(n_tables)
+            ])
+        ).alias("_tb"),
     )
+    probe_cols = []
+    for t in range(n_tables):
+        b0 = _table_bucket(t)
+        probes = [b0] + (
+            [b0.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)] if multi_probe else []
+        )
+        probe_cols += [F.concat(F.lit(f"{t}:"), p.cast("int").cast("string")) for p in probes]
     q0 = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qv"),
-        lsh_bucket(vec_col, n_planes, dim).alias("_bkt0"),
+        F.explode(F.array(*probe_cols)).alias("_tb"),
     )
-    if multi_probe:
-        probes = F.array(
-            F.col("_bkt0"),
-            *[F.col("_bkt0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-        )
-        q0 = q0.select(
-            query_id_col, "_qv", F.explode(probes).alias("_bkt")
-        ).withColumn("_bkt", F.col("_bkt").cast("int"))
-    else:
-        q0 = q0.withColumnRenamed("_bkt0", "_bkt")
     qb = F.broadcast(q0)
-    scored = vb.join(qb, "_bkt").select(
+    cand = (
+        vb.join(qb, "_tb")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
         query_id_col,
         id_col,
         F.round(dot_expr("_qv", "_v") / (norm_expr("_qv") * norm_expr("_v")), 6).alias("cosine"),

@@ -338,6 +338,69 @@ LEFT JOIN rf r USING (user_id)
 """
 
 
+def q_merge_text(spark, sf_dir):
+    """A11 mergeText (merger.py:83-104): text-field fold to one
+    (content, provider, modtime) per key via the origin-trust cascade."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "props")
+    return merge_rules.merge_text(
+        ev,
+        key="user_id",
+        content_col="props",
+        origin_col="event_type",
+        priority_map=EVENT_PRIORITIES,
+        modtime_col="ts",
+        offset_col="event_id",
+    )
+
+
+_MERGE_TEXT_SQL = f"""
+WITH champions AS (
+  SELECT user_id, ts, event_id, event_type, props FROM (
+    SELECT user_id, ts, event_id, event_type, props,
+           row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY (coalesce(length(props),0) > 0) DESC, ts DESC,
+                      coalesce(length(props),0) DESC, event_id DESC) rn
+    FROM events) WHERE rn = 1)
+SELECT user_id, content, provider, modtime FROM (
+  SELECT user_id, props AS content, event_type AS provider, ts AS modtime,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY (coalesce(length(props),0) > 0) DESC, {_PRIO_SQL} DESC,
+                    coalesce(length(props),0) DESC, ts DESC, event_id DESC) rn
+  FROM champions) WHERE rn = 1
+"""
+
+
+def q_ensure_list(spark, sf_dir):
+    """F4 ensureList (enforce_schema.py:40-43): None -> [], scalar ->
+    [scalar], list passes through — ragged shapes as (scalar, array)
+    column twins, one non-null per row."""
+    from ..functions.scalars import ensure_list
+
+    docs = _t(spark, sf_dir, "documents")
+    scalar = F.when(F.col("doc_id") % 3 == 0, F.col("lang"))
+    arr = F.when(F.col("doc_id") % 3 == 1, F.array(F.col("lang"), F.col("source")))
+    norm = ensure_list(scalar, arr)
+    return docs.select(
+        "doc_id",
+        F.size(norm).cast("int").alias("n_values"),
+        F.array_join(norm, "|").alias("values"),
+    )
+
+
+from ..functions.scalars import ensure_list_sql  # noqa: E402
+
+_ENSURE_LIST_NORM = ensure_list_sql(
+    "CASE WHEN doc_id % 3 = 0 THEN lang END",
+    "CASE WHEN doc_id % 3 = 1 THEN [lang, source] END",
+)
+_ENSURE_LIST_SQL = f"""
+SELECT doc_id,
+       len({_ENSURE_LIST_NORM})::INT AS n_values,
+       coalesce(array_to_string({_ENSURE_LIST_NORM}, '|'), '') AS values
+FROM documents
+"""
+
+
 def q_take_all(spark, sf_dir):
     """A5: order-preserving union-distinct (merger.py:226-241)."""
     ev = _t(spark, sf_dir, "events").withColumn("_ord", F.struct("ts", "event_id"))
@@ -1136,34 +1199,101 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
 """
 
 
+#: LSH-ANN configuration shared by the Spark query, the SQL twin, and bench
+LSH_ANN_TABLES = 3
+LSH_ANN_PLANES = 4
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (the 100 TB scale path): score only
-    vectors in the query's random-hyperplane bucket or its Hamming-1
-    neighbors (multi-probe recall lever)."""
+    vectors sharing a random-hyperplane bucket with the query — Hamming-1
+    multi-probe x 3 independent hash tables (the two standard recall
+    levers composed), candidates deduplicated before exact scoring."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.lsh_ann_topk(
-        emb, queries, k=5, n_planes=4, dim=64, multi_probe=True
+        emb, queries, k=5, n_planes=LSH_ANN_PLANES, dim=64, multi_probe=True,
+        n_tables=LSH_ANN_TABLES,
     )
 
 
-_LSH_ANN_SQL = f"""
-WITH eb AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         {similarity.lsh_bucket_sql('(embedding::DOUBLE[])', 4, 64)} AS bkt
-  FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv,
-             unnest([bkt, xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8)]) AS bkt
-      FROM eb WHERE vec_id % 97 = 0)
+def _lsh_ann_sql(n_tables: int = LSH_ANN_TABLES, n_planes: int = LSH_ANN_PLANES) -> str:
+    from ..operators.dedup import lsh_bucket_offset_sql
+
+    bkts = ", ".join(
+        f"{lsh_bucket_offset_sql('(embedding::DOUBLE[])', n_planes, 64, t)} AS bkt{t}"
+        for t in range(n_tables)
+    )
+    v_tbs = ", ".join(f"'{t}:' || bkt{t}::VARCHAR" for t in range(n_tables))
+    probes = []
+    for t in range(n_tables):
+        probes.append(f"'{t}:' || bkt{t}::VARCHAR")
+        probes += [f"'{t}:' || xor(bkt{t}, {1 << p})::VARCHAR" for p in range(n_planes)]
+    q_tbs = ", ".join(probes)
+    return f"""
+WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bkts} FROM embeddings),
+vstack AS (SELECT vec_id, unnest([{v_tbs}]) AS tb FROM eb),
+qstack AS (SELECT vec_id AS query_id, unnest([{q_tbs}]) AS tb
+           FROM eb WHERE vec_id % 97 = 0),
+cand AS (SELECT DISTINCT q.query_id, v.vec_id FROM vstack v JOIN qstack q USING (tb))
 SELECT query_id, vec_id, cosine, rank FROM (
-  SELECT q.query_id, eb.vec_id,
-         round(list_cosine_similarity(q.qv, eb.v), 6) AS cosine,
-         row_number() OVER (PARTITION BY q.query_id
-           ORDER BY round(list_cosine_similarity(q.qv, eb.v), 6) DESC, eb.vec_id ASC) AS rank
-  FROM eb JOIN q ON eb.bkt = q.bkt) WHERE rank <= 5
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(qe.v, e.v), 6) AS cosine,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY round(list_cosine_similarity(qe.v, e.v), 6) DESC, c.vec_id ASC) AS rank
+  FROM cand c JOIN eb e ON c.vec_id = e.vec_id
+  JOIN eb qe ON c.query_id = qe.vec_id) WHERE rank <= 5
 """
+
+
+_LSH_ANN_SQL = _lsh_ann_sql()
+
+
+#: near-dup LSH dials: the query's cosine threshold (0.25, matching the
+#: brute baseline) is a WEAK-similarity regime — hyperplane collision
+#: probability per table is (1 - theta/pi)^planes, so recall at 75 degrees
+#: needs few planes and several tables (planes=2 x tables=4 => ~0.81
+#: analytic recall) at the cost of pruning power.  Production dup thresholds
+#: (>=0.8 cosine) get both recall AND pruning from the same operator.
+NEAR_DUP_PLANES = 2
+NEAR_DUP_TABLES = 4
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """Bucketed near-dup pairs (the 100 TB path of embedding_near_dups):
+    multi-table hyperplane-LSH candidate generation + exact cosine verify,
+    over the same vec_id%5==0 subset and threshold as the brute baseline."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return dedup.embedding_near_dups_lsh(
+        emb, "vec_id", "embedding", threshold=0.25,
+        n_planes=NEAR_DUP_PLANES, dim=64, n_tables=NEAR_DUP_TABLES,
+    )
+
+
+def _emb_dup_lsh_sql(n_tables: int = NEAR_DUP_TABLES, n_planes: int = NEAR_DUP_PLANES) -> str:
+    from ..operators.dedup import lsh_bucket_offset_sql
+
+    bkts = ", ".join(
+        f"{lsh_bucket_offset_sql('(embedding::DOUBLE[])', n_planes, 64, t)} AS bkt{t}"
+        for t in range(n_tables)
+    )
+    tbs = ", ".join(f"'{t}:' || bkt{t}::VARCHAR" for t in range(n_tables))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {bkts}
+           FROM embeddings WHERE vec_id % 5 = 0),
+st AS (SELECT vec_id, unnest([{tbs}]) AS tb FROM e),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM st a JOIN st b ON a.tb = b.tb AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+  FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id)
+WHERE cosine >= 0.25
+"""
+
+
+_EMB_DUP_LSH_SQL = _emb_dup_lsh_sql()
 
 
 # =====================================================================
@@ -1351,6 +1481,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_agg": q_fingerprint_agg,
     "origin_trust_merge": q_origin_trust_merge,
     "record_merge": q_record_merge,
+    "merge_text": q_merge_text,
+    "ensure_list": q_ensure_list,
     "take_all": q_take_all,
     "take_all_by_priority": q_take_all_by_priority,
     "boolean_merge": q_boolean_merge,
@@ -1382,6 +1514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "ann_topk": q_ann_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "lsh_ann_topk": q_lsh_ann_topk,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
@@ -1402,6 +1535,8 @@ ORACLES: dict[str, str] = {
     "fingerprint_agg": _FP_AGG_SQL,
     "origin_trust_merge": _ORIGIN_TRUST_SQL,
     "record_merge": _RECORD_MERGE_SQL,
+    "merge_text": _MERGE_TEXT_SQL,
+    "ensure_list": _ENSURE_LIST_SQL,
     "take_all": _TAKE_ALL_SQL,
     "take_all_by_priority": _TAKE_ALL_PRIO_SQL,
     "boolean_merge": _BOOL_SQL,
@@ -1433,6 +1568,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": _DOC_FP_SQL,
     "ann_topk": _ANN_SQL,
     "embedding_near_dups": _EMB_DUP_SQL,
+    "embedding_near_dups_lsh": _EMB_DUP_LSH_SQL,
     "lsh_ann_topk": _LSH_ANN_SQL,
     "multimodal_decode": _MULTIMODAL_SQL,
     "multimodal_frames": _MULTIMODAL_FRAMES_SQL,

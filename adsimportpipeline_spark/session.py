@@ -70,6 +70,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd over default snappy: html payloads compress ~3-5x better, and
+        # on a memory-bandwidth-bound node (or tmpfs scratch) every written /
+        # re-read byte is bus traffic — trading decompression ALU (which
+        # scales with cores) for bandwidth (which doesn't) is the right side
+        # of the exchange at every cluster size
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

@@ -47,3 +47,55 @@ def run_replay(
     else:
         q = writer.start()
         return q
+
+
+def run_replay_stateful(
+    spark: SparkSession,
+    log_path: str,
+    table_root: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = 8,
+    available_now: bool = True,
+    collect_stats: list | None = None,
+):
+    """State-store replay mode: LWW resolved IN-STREAM with
+    ``applyInPandasWithState`` (per-url high-water mark as streaming state),
+    the sink applying only 'apply' rows — no stale-filter or tombstone-guard
+    joins against the stored table, so per-batch work stays proportional to
+    the batch rather than the table (the operator's whole point).
+
+    Exactly-once composition: the state store checkpoints with the query, so
+    after a kill Spark replays the in-flight micro-batch against the
+    rolled-back state version and reproduces identical decisions; the lake's
+    commit-epoch manifest then makes re-application of an already-committed
+    batch a no-op — same guarantee as :func:`run_replay`, proven by the
+    kill-and-resume test (tests/test_stateful_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from .stateful import stateful_lww_decisions
+
+    table = LakeTable.load(spark, table_root)
+    stream = stream_change_log(spark, log_path, max_files_per_trigger)
+    decided = stateful_lww_decisions(stream, passthrough_payload=True)
+
+    def _apply(batch_df, batch_id):
+        # drop rows the state already rejected; deletes of ANY decision keep
+        # flowing for the tombstone audit (reference appends every delete)
+        pruned = batch_df.filter(
+            (F.col("decision") == "apply") | (F.col("op") == "delete")
+        )
+        stats = apply_batch(table, pruned, batch_id, decision_col="decision")
+        if collect_stats is not None:
+            collect_stats.append(stats)
+
+    writer = (
+        decided.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .queryName("cdc-replay-stateful")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+        return q

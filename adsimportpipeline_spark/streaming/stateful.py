@@ -47,65 +47,85 @@ DECISION_SCHEMA = T.StructType(
 )
 
 
-def _decide_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    url = key[0]
-    if state.exists:
-        max_ts, max_off, deleted = state.get
-    else:
-        max_ts, max_off, deleted = -1, -1, False
+def _make_decider(passthrough: list[str]):
+    """Group body parameterized by payload passthrough columns."""
 
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    ts_us = batch["warc_ts"].astype("int64") // 1000  # pandas ns -> micros
-    off = batch["log_offset"].astype("int64")
+    def _decide_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        url = key[0]
+        if state.exists:
+            max_ts, max_off, deleted = state.get
+        else:
+            max_ts, max_off, deleted = -1, -1, False
 
-    # ascending sort by the LWW key: every row then compares only against
-    # its predecessor (in-batch) and the state's high-water mark
-    keyed = pd.DataFrame({"ts": ts_us, "off": off})
-    order = keyed.sort_values(["ts", "off"], kind="mergesort").index
-    b = batch.loc[order].reset_index(drop=True)
-    bts = keyed["ts"].loc[order].reset_index(drop=True)
-    boff = keyed["off"].loc[order].reset_index(drop=True)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        ts_us = batch["warc_ts"].astype("int64") // 1000  # pandas ns -> micros
+        off = batch["log_offset"].astype("int64")
 
-    # in-batch exact re-delivery: equal key to the previous (sorted) row
-    dup_in_batch = bts.eq(bts.shift(1)) & boff.eq(boff.shift(1))
-    # exact re-delivery of the cross-batch high-water mark
-    dup_vs_state = (bts == max_ts) & (boff == max_off)
-    # strictly newer than everything seen before this row
-    newer_than_state = (bts > max_ts) | ((bts == max_ts) & (boff > max_off))
+        # ascending sort by the LWW key: every row then compares only against
+        # its predecessor (in-batch) and the state's high-water mark
+        keyed = pd.DataFrame({"ts": ts_us, "off": off})
+        order = keyed.sort_values(["ts", "off"], kind="mergesort").index
+        b = batch.loc[order].reset_index(drop=True)
+        bts = keyed["ts"].loc[order].reset_index(drop=True)
+        boff = keyed["off"].loc[order].reset_index(drop=True)
 
-    decision = pd.Series("stale", index=b.index)
-    decision[newer_than_state.to_numpy()] = "apply"
-    decision[(dup_in_batch | dup_vs_state).to_numpy()] = "duplicate"
+        # in-batch exact re-delivery: equal key to the previous (sorted) row
+        dup_in_batch = bts.eq(bts.shift(1)) & boff.eq(boff.shift(1))
+        # exact re-delivery of the cross-batch high-water mark
+        dup_vs_state = (bts == max_ts) & (boff == max_off)
+        # strictly newer than everything seen before this row
+        newer_than_state = (bts > max_ts) | ((bts == max_ts) & (boff > max_off))
 
-    new_ts, new_off = int(bts.iloc[-1]), int(boff.iloc[-1])
-    if (new_ts, new_off) > (max_ts, max_off):
-        last_op = b["op"].iloc[-1]
-        state.update((new_ts, new_off, bool(last_op == "delete")))
+        decision = pd.Series("stale", index=b.index)
+        decision[newer_than_state.to_numpy()] = "apply"
+        decision[(dup_in_batch | dup_vs_state).to_numpy()] = "duplicate"
 
-    yield pd.DataFrame(
-        {
+        new_ts, new_off = int(bts.iloc[-1]), int(boff.iloc[-1])
+        if (new_ts, new_off) > (max_ts, max_off):
+            last_op = b["op"].iloc[-1]
+            state.update((new_ts, new_off, bool(last_op == "delete")))
+
+        out = {
             "url": url,
             "warc_ts": b["warc_ts"],
             "log_offset": b["log_offset"],
             "op": b["op"],
             "decision": decision,
         }
-    )
+        for c in passthrough:
+            out[c] = b[c]
+        yield pd.DataFrame(out)
+
+    return _decide_group
 
 
-def stateful_lww_decisions(events: DataFrame) -> DataFrame:
+def stateful_lww_decisions(
+    events: DataFrame, passthrough_payload: bool = False
+) -> DataFrame:
     """Streaming transform: change events -> per-event LWW decisions with
     per-url state (exact semantics: an event is 'apply' iff strictly newer
     than every event for its url seen in any earlier batch OR earlier in
-    this batch's order)."""
-    return (
-        events.select("url", "warc_ts", "log_offset", "op")
-        .groupBy("url")
-        .applyInPandasWithState(
-            _decide_group,
-            outputStructType=DECISION_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    this batch's order).
+
+    ``passthrough_payload=True`` carries every other input column through
+    the state operator unchanged, so a downstream sink can apply the
+    'apply' rows directly (the full state-store replay mode,
+    :func:`..streaming.runner.run_replay_stateful`) instead of re-joining
+    payloads."""
+    core = ["url", "warc_ts", "log_offset", "op"]
+    extra = (
+        [f for f in events.schema.fields if f.name not in core]
+        if passthrough_payload
+        else []
+    )
+    out_schema = T.StructType(
+        list(DECISION_SCHEMA.fields) + [T.StructField(f.name, f.dataType, True) for f in extra]
+    )
+    src = events if passthrough_payload else events.select(*core)
+    return src.groupBy("url").applyInPandasWithState(
+        _make_decider([f.name for f in extra]),
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

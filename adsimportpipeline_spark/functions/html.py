@@ -2,21 +2,35 @@
 
 Analog of the reference's per-record normalization hot path (xmltodict parse,
 read_records.py:84-89, + control-char/entity cleanup ArXivDirect.py:70-80),
-rebuilt as a pandas/Arrow UDF per BASELINE.json input_hint ("no per-row
-Python").  The extraction spec is deterministic and byte-stable:
+rebuilt per BASELINE.json input_hint ("no per-row Python").  The extraction
+spec is deterministic and byte-stable:
 
 1. decode UTF-8 (errors=replace)
-2. drop <script>/<style> blocks
+2. drop <script>/<style> blocks (leftmost-first across both tag kinds)
 3. block-level closing tags and <br> become newlines
 4. strip remaining tags
 5. decode the basic HTML entities
 6. collapse horizontal whitespace, trim line edges, collapse blank lines,
    strip the ends
 
-Both the vectorized path (pandas ``.str`` ops) and the scalar oracle path
-(:func:`extract_text_str`) execute the *same* ``re`` patterns in the same
-order, so outputs are byte-identical per url — the invariant the north_star
-demands ("extracted text is byte-identical per url").
+Three implementations execute the SAME ``_RE_STEPS`` table in the same
+order so outputs are byte-identical per url (the north_star invariant):
+
+- :func:`_extract_series` — the engine hot path: Arrow compute kernels
+  (``replace_substring_regex``, RE2, C++-vectorized — measured ~2x the
+  pandas ``.str`` chain, which loops ``pat.sub`` per element under the
+  hood), with a pandas fallback for batches containing invalid UTF-8;
+- :func:`extract_text_str` — the scalar oracle (Python ``re``);
+- :func:`extract_text_sql` — the DuckDB twin (RE2), generated from the
+  same table.
+
+Because the engines differ (Python ``re`` vs RE2), every pattern is written
+in the *engine-invariant* subset: no ``\\b`` (Python's is Unicode-aware,
+RE2's is ASCII — spelled as an explicit ASCII class instead), no bare
+``\\s`` (same divergence), no lookarounds (RE2 has none), and trimming uses
+an explicit character set rather than Python's Unicode ``str.strip()``.
+Identity is property-tested over arbitrary bytes
+(tests/test_text_byte_identity.py).
 """
 
 from __future__ import annotations
@@ -24,45 +38,88 @@ from __future__ import annotations
 import re
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-# (pattern, replacement) applied in order; identical for scalar and pandas.
+#: explicit trim set — identical under Python str.strip(chars), Arrow
+#: utf8_trim and SQL trim (Python's argless strip() would also eat \x1c-\x1f,
+#: \x85, \xa0, ... which RE2-side trims cannot express portably)
+_TRIM_CHARS = " \t\n\r\f\v"
+
+#: ``<script`` / ``<style`` follower: the engine-invariant spelling of
+#: ``\b`` — either the closing tag immediately, or one ASCII-non-word char
+#: then a lazy body ("(?:|[^0-9A-Za-z_].*?)")
+_TAG_BREAK = "(?:|[^0-9A-Za-z_].*?)"
+
+# (pattern, replacement) applied in order; identical for scalar, Arrow and
+# SQL paths.  Patterns use only the Python-re / RE2 common subset.
+_RE_PATTERNS: list[tuple[str, str]] = [
+    # script/style blocks in ONE leftmost-first pass: the earliest block
+    # opener wins, matching browser behavior on interleaved malformed tags
+    (
+        f"(?is)<(?:script{_TAG_BREAK}</script>|style{_TAG_BREAK}</style>)",
+        "",
+    ),
+    # <br> variants and block-closing tags -> newline, one pass (their
+    # replacements cannot create new matches of either alternative)
+    (
+        "(?i)<br[ \t\n\r\f\v]*/?>"
+        "|</(?:p|div|h[1-6]|li|tr|table|ul|ol|section|article|header|footer|blockquote|pre)>",
+        "\n",
+    ),
+    (r"<[^>]*>", ""),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"[ \t\r\f\v]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n+", "\n"),
+]
+
+#: compiled for the scalar path
 _RE_STEPS: list[tuple[re.Pattern, str]] = [
-    (re.compile(r"(?is)<script\b.*?</script>"), ""),
-    (re.compile(r"(?is)<style\b.*?</style>"), ""),
-    (re.compile(r"(?i)<br\s*/?>"), "\n"),
-    (re.compile(r"(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|section|article|header|footer|blockquote|pre)>"), "\n"),
-    (re.compile(r"<[^>]*>"), ""),
-    (re.compile(r"&nbsp;"), " "),
-    (re.compile(r"&lt;"), "<"),
-    (re.compile(r"&gt;"), ">"),
-    (re.compile(r"&quot;"), '"'),
-    (re.compile(r"&#39;"), "'"),
-    (re.compile(r"&amp;"), "&"),
-    (re.compile(r"[ \t\r\f\v]+"), " "),
-    (re.compile(r" ?\n ?"), "\n"),
-    (re.compile(r"\n+"), "\n"),
+    (re.compile(p), r) for p, r in _RE_PATTERNS
 ]
 
 
 def extract_text_str(html: bytes | None) -> str | None:
-    """Scalar oracle implementation — same regex chain as the pandas UDF."""
+    """Scalar oracle implementation — same pattern chain as the Arrow path."""
     if html is None:
         return None
     s = html.decode("utf-8", errors="replace")
     for pat, repl in _RE_STEPS:
         s = pat.sub(repl, s)
-    return s.strip()
+    return s.strip(_TRIM_CHARS)
+
+
+def _decode_utf8(html: pd.Series) -> pa.Array:
+    """binary -> utf8 Arrow array; errors=replace via pandas fallback only
+    when the batch actually contains invalid UTF-8 (never on the hot path)."""
+    arr = pa.Array.from_pandas(html, type=pa.binary())
+    try:
+        return arr.cast(pa.string())
+    except pa.ArrowInvalid:
+        return pa.Array.from_pandas(html.str.decode("utf-8", errors="replace"))
 
 
 def _extract_series(html: pd.Series) -> pd.Series:
-    s = html.str.decode("utf-8", errors="replace")
-    for pat, repl in _RE_STEPS:
-        s = s.str.replace(pat, repl, regex=True)
-    return s.str.strip()
+    """Engine hot path: the whole chain runs as Arrow C++ kernels; pandas
+    only at the Series boundaries (the pandas ``.str.replace`` chain loops
+    Python ``pat.sub`` per element — measured 2x slower on real batches)."""
+    s = _decode_utf8(html)
+    for pat, repl in _RE_PATTERNS:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    s = pc.utf8_trim(s, characters=_TRIM_CHARS)
+    out = s.to_pandas()
+    out.index = html.index
+    return out
 
 
 @pandas_udf(T.StringType())
@@ -79,16 +136,17 @@ def with_text(col: str | Column = "html") -> Column:
 
 def extract_text_sql(expr: str) -> str:
     """ANSI/DuckDB SQL twin of the extraction chain, generated from the SAME
-    ``_RE_STEPS`` table so the two can never drift.
+    ``_RE_PATTERNS`` table so the three paths can never drift.
 
     RE2 interprets the escape sequences (\\t, \\f, ...) inside the pattern
     itself, so patterns pass through as plain SQL string literals; newline
     *replacements* are spelled ``chr(10)`` to stay escape-free.  The final
-    ``trim`` strips the same whitespace set as Python ``str.strip()``.
+    ``trim`` strips the same explicit whitespace set as the engine.
     """
     s = expr
-    for pat, repl in _RE_STEPS:
-        p = pat.pattern.replace("'", "''")
+    for pat, repl in _RE_PATTERNS:
+        p = pat.replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+        p = p.replace("\f", "\\f").replace("\v", "\\v").replace("'", "''")
         r = "chr(10)" if repl == "\n" else "'" + repl.replace("'", "''") + "'"
         s = f"regexp_replace({s}, '{p}', {r}, 'g')"
     ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"

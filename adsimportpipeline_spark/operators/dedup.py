@@ -218,6 +218,75 @@ def simhash_duplicate_groups(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    band_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hamming`` of each
+    other's simhash — the banded Hamming join of classic web-dedup
+    (Manku/Jain/Sarma's scheme re-expressed as DataFrame ops).
+
+    Pigeonhole: split the ``bits``-bit signature into ``n_bands`` equal
+    bands; any pair within Hamming distance ``n_bands - 1`` agrees exactly
+    on >= 1 band, so candidate generation is an EQUI-join on
+    ``(band_index, band_value)`` — never an all-pairs scan — and the exact
+    ``bit_count(xor)`` verify runs on candidates only.  Requires
+    ``max_hamming <= n_bands - 1`` for lossless recall (asserted).
+
+    ``band_cap`` mirrors :func:`lsh_candidate_pairs`'s hot-bucket cap: a
+    boilerplate corpus collapses to ONE signature whose band buckets
+    explode quadratically; capped buckets are dropped (audit them with the
+    signature-level :func:`simhash_duplicate_groups`, which reports exact
+    collisions without pair fan-out).
+    """
+    assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs max_hamming <= n_bands-1"
+    assert bits % n_bands == 0
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    s = simhash(df, id_col, text_col, bits)
+    bands = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"{i}:"),
+                    F.shiftright(F.col("simhash"), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("string"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("_band"),
+    )
+    if band_cap is not None:
+        w = Window.partitionBy("_band")
+        bands = bands.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+            F.col("_n") <= band_cap
+        ).drop("_n")
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "_band"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "_band"
+    )
+    return (
+        a.join(b, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

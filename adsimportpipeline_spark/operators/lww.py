@@ -78,6 +78,7 @@ def lww_winner_rows(
     broadcast_keys: bool | None = None,
     broadcast_max_keys: int = 4_000_000,
     cleanup: list | None = None,
+    unique_order_col: str | None = None,
 ) -> DataFrame:
     """Payload-light LWW core: argmax over the ordering keys only, then fetch
     the winning rows back with a semi-join.  Returns each key's winning rows
@@ -93,13 +94,13 @@ def lww_winner_rows(
     shuffling 400 GB.
 
     ``broadcast_keys``: ``True``/``False`` force the join strategy.  The
-    default ``None`` MEASURES: a cheap ``approx_count_distinct`` pass over
-    the key column alone (no shuffle, no agg materialization — the HLL
-    sketch's ±5% is noise against a 4M threshold) decides, and the join
-    broadcasts iff the estimate is under ``broadcast_max_keys``, else falls
-    back to a shuffled join.  With broadcast chosen, the winner-key
-    aggregate itself then runs INSIDE the main job's broadcast exchange —
-    one job total, nothing persisted.  Deferring the choice to AQE instead
+    default ``None`` MEASURES: the winner-key aggregate itself is persisted
+    and counted — one narrow scan total, because the count's materialization
+    is exactly the relation the join consumes (the earlier design ran a
+    separate ``approx_count_distinct`` scan AND re-ran the aggregate inside
+    the main job — two narrow passes over the full log).  The join
+    broadcasts iff the exact count is under ``broadcast_max_keys``, else
+    falls back to a shuffled join.  Deferring the choice to AQE instead
     would be too late — AQE submits both shuffle stages of a sort-merge
     join before converting it, so the full payload shuffle gets WRITTEN
     even when the runtime stats would have chosen broadcast (measured: an
@@ -113,18 +114,42 @@ def lww_winner_rows(
     ``spark.sql.autoBroadcastJoinThreshold``.  Raise it only with the
     executor memory to match.
 
-    ``cleanup`` is kept for API compatibility; the measured path no longer
-    persists anything.
+    ``cleanup``: when a list is passed, the persisted key aggregate is
+    appended to it and the caller unpersists after its job (the apply path
+    does — apply.py's ``finally``).  Without one, the cache is dropped
+    immediately after the count so a long-lived session cannot leak it —
+    the join then recomputes the aggregate inside the main job (the
+    count's cost matches the old HLL scan, so the worst case is the old
+    behavior, never worse).
     """
     order_struct = _order_struct(order_cols)
     keys = df.groupBy(key).agg(F.max(order_struct).alias("_w"))
+    if unique_order_col is not None:
+        # ``unique_order_col`` (one of order_cols) uniquely identifies an
+        # event across the whole log — the CDC log_offset.  Then the
+        # winning rows are exactly the rows carrying the winning offsets:
+        # the join key shrinks from (string key + order-struct equality
+        # filter) to ONE 8-byte long — a ~12x smaller broadcast and a
+        # cheaper probe hash, with the post-join filter gone entirely.
+        keys = keys.select(
+            F.col(f"_w.{unique_order_col}").alias(unique_order_col)
+        )
     if broadcast_keys is None:
-        n_keys = df.select(F.approx_count_distinct(key).alias("n")).first()["n"]
+        from pyspark.storagelevel import StorageLevel
+
+        keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+        n_keys = keys.count()
+        if cleanup is not None:
+            cleanup.append(keys)
+        else:
+            keys.unpersist()
         broadcast_keys = n_keys <= broadcast_max_keys
     if broadcast_keys:
         keys = F.broadcast(keys)
     else:
         keys = keys.hint("shuffle_hash")
+    if unique_order_col is not None:
+        return df.join(keys, unique_order_col)
     return df.join(keys, key).filter(order_struct == F.col("_w")).drop("_w")
 
 
@@ -135,6 +160,7 @@ def lww_dedup_semi(
     broadcast_keys: bool | None = None,
     broadcast_max_keys: int = 4_000_000,
     cleanup: list | None = None,
+    unique_order_col: str | None = None,
 ) -> DataFrame:
     """:func:`lww_winner_rows` + collapse of exact duplicate deliveries
     (rows sharing (key, order_cols) are identical payloads by the log's
@@ -152,6 +178,7 @@ def lww_dedup_semi(
         broadcast_keys=broadcast_keys,
         broadcast_max_keys=broadcast_max_keys,
         cleanup=cleanup,
+        unique_order_col=unique_order_col,
     )
     return lww_dedup(matched, key=key, order_cols=order_cols)
 

@@ -1037,6 +1037,31 @@ SELECT doc_id, ({sig})::BIGINT AS simhash FROM votes
 """
 
 
+def q_doc_simhash_pairs(spark, sf_dir):
+    """Banded simhash Hamming join (Manku-style web dedup): pairs within
+    Hamming distance 3, candidates from an equi-join on 4-bit signature
+    bands (pigeonhole-lossless at 4 bands), exact popcount verify on
+    candidates only."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=16, max_hamming=3, n_bands=4
+    )
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH bands AS (
+  SELECT doc_id, simhash,
+         i::VARCHAR || ':' || (((simhash >> (i * 4)) & 15))::VARCHAR AS band
+  FROM ({_simhash_sql(16)}) sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sig_a,
+                  b.doc_id AS id_b, b.simhash AS sig_b
+  FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::INTEGER AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
 def q_doc_lang_id(spark, sf_dir):
     """Language-ID via stopword-marker argmax (n-gram heuristic)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1249,6 +1274,60 @@ SELECT query_id, vec_id, cosine, rank FROM (
 
 
 _LSH_ANN_SQL = _lsh_ann_sql()
+
+
+#: IVF dials shared by the Spark query, the SQL twin, and bench
+IVF_LISTS = 8
+IVF_PROBE = 2
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF-ANN approximate top-k (the second standard scale path next to
+    LSH): coarse-quantize the corpus into 8 cosine Voronoi cells around
+    deterministic centroids (first 8 vectors by id — the oracle-reproducible
+    stand-in for an offline k-means fit), probe the 2 nearest cells per
+    query, exact-score candidates only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_ann_topk(
+        emb, queries, k=5, n_lists=IVF_LISTS, n_probe=IVF_PROBE
+    )
+
+
+_IVF_ANN_SQL = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS c
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_LISTS})
+),
+scored AS (
+  SELECT e.vec_id, cent.cell,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], cent.c), 6) AS s
+  FROM embeddings e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM scored WHERE vec_id % 97 = 0) WHERE rn <= {IVF_PROBE}
+),
+cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell))
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY round(list_cosine_similarity(qe.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN embeddings qe ON c.query_id = qe.vec_id) WHERE rank <= 5
+"""
 
 
 #: near-dup LSH dials: the query's cosine threshold (0.25, matching the
@@ -1508,6 +1587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_minhash_sigs": q_doc_minhash_sigs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash": q_doc_simhash,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,
     "doc_token_count": q_doc_token_count,
@@ -1516,6 +1596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "cdc_final_state": q_cdc_final_state,
@@ -1562,6 +1643,7 @@ ORACLES: dict[str, str] = {
     "doc_minhash_sigs": _MINHASH_SIGS_SQL,
     "doc_minhash_pairs": _MINHASH_PAIRS_SQL,
     "doc_simhash": _simhash_sql(16),
+    "doc_simhash_pairs": _SIMHASH_PAIRS_SQL,
     "doc_lang_id": _LANG_SQL,
     "doc_quality": _QUALITY_SQL,
     "doc_token_count": _TOKENS_SQL,
@@ -1570,6 +1652,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dups": _EMB_DUP_SQL,
     "embedding_near_dups_lsh": _EMB_DUP_LSH_SQL,
     "lsh_ann_topk": _LSH_ANN_SQL,
+    "ivf_ann_topk": _IVF_ANN_SQL,
     "multimodal_decode": _MULTIMODAL_SQL,
     "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "cdc_final_state": _CDC_FINAL_SQL,

@@ -86,6 +86,40 @@ def test_lsh_ann_recall_floor(spark, sf_dir):
     assert r_tabled >= 0.9
 
 
+def test_ivf_ann_probe_lever_and_exactness(spark, sf_dir):
+    """IVF-ANN: recall must be monotone in n_probe (the dial actually
+    dials), and probing ALL cells must equal the exact brute-force top-k —
+    IVF's precision is exact by construction, recall is the only
+    approximation."""
+    from pyspark.sql import functions as F
+
+    from adsimportpipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    recalls = []
+    for probe in (1, 2, 8):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_ann_topk(
+                emb, queries, k=5, n_lists=8, n_probe=probe
+            ).collect()
+        }
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls == sorted(recalls)  # monotone in n_probe
+    assert recalls[1] >= 0.5  # the bench configuration's floor
+    assert recalls[2] == 1.0  # all cells probed == exact top-k
+
+
 def test_embedding_near_dup_lsh_recall_vs_brute(spark, sf_dir):
     """The bucketed embedding near-dup path must (a) be a SUBSET of the brute
     pairs at the same threshold (verification is exact, only candidate

@@ -134,6 +134,24 @@ def lww_winner_rows(
         keys = keys.select(
             F.col(f"_w.{unique_order_col}").alias(unique_order_col)
         )
+    if broadcast_keys is None and unique_order_col is not None:
+        # single-job measure-and-fetch: the winner offsets ARE the broadcast
+        # payload (8 B/row), so collect up to the cap + 1 directly — the
+        # same rows the broadcast exchange would collect anyway.  One
+        # distributed job decides the strategy AND delivers the relation
+        # (as a driver-local Arrow table), where persist+count+broadcast
+        # costs a second job plus a cache round-trip.  Overflow (cap + 1
+        # rows returned) falls back to the shuffled join, which recomputes
+        # the aggregate inside the main job — the 10^9-key bulk case.
+        try:
+            tbl = keys.limit(broadcast_max_keys + 1).toArrow()
+            n_keys = tbl.num_rows
+        except Exception:
+            tbl, n_keys = None, broadcast_max_keys + 1
+        if tbl is not None and n_keys <= broadcast_max_keys:
+            local = df.sparkSession.createDataFrame(tbl.to_pandas())
+            return df.join(F.broadcast(local), unique_order_col)
+        broadcast_keys = False
     if broadcast_keys is None:
         from pyspark.storagelevel import StorageLevel
 

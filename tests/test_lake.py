@@ -99,3 +99,53 @@ def test_append_compaction_and_snapshot_expiry(spark, tmp_path):
     assert t.read().count() == 1  # last overwrite_buckets replaced all buckets
     assert {tuple(r) for r in t.read_tombstones(TOMBSTONE_SCHEMA).collect()} == before
     assert t.last_epoch("cdc") == 11
+
+
+def test_concurrent_manifest_commit_never_lost(spark, tmp_path):
+    """Two committers racing for the same version must BOTH land: the
+    hard-link CAS makes claiming a version file atomic, so an exists-probe
+    race can't silently overwrite a published manifest (the optimistic-
+    concurrency check real Iceberg does against its catalog)."""
+    import json
+    import os
+    import threading
+
+    root = str(tmp_path / "cas")
+    t = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=4)
+    base = t.manifest()
+
+    n_writers, per_writer = 4, 5
+    errs: list[Exception] = []
+
+    def _commit_many(wid: int) -> None:
+        try:
+            for i in range(per_writer):
+                m = dict(base)
+                m["version"] = t.current_version() + 1  # deliberately racy
+                m["writer_stamp"] = f"{wid}:{i}"
+                t._commit_manifest(m)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=_commit_many, args=(w,)) for w in range(n_writers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+
+    mdir = os.path.join(root, "_manifests")
+    files = [f for f in os.listdir(mdir) if len(f) == 14 and f.endswith(".json")]
+    # every commit produced its OWN version file — none overwritten/lost
+    stamps = set()
+    for f in files:
+        with open(os.path.join(mdir, f)) as fh:
+            stamps.add(json.load(fh).get("writer_stamp"))
+    assert len(files) == n_writers * per_writer + 1  # + the create() manifest
+    assert len(stamps - {None}) == n_writers * per_writer
+    # _CURRENT points at a readable manifest
+    assert t.manifest()["version"] == t.current_version()
+    # no leaked tmp files
+    assert not [f for f in os.listdir(mdir) if ".tmp-" in f]

@@ -82,11 +82,17 @@ def _bulk_upserts(
         batch_df, key, cleanup=cleanup, unique_order_col="log_offset"
     )
     upserts = winners.filter(F.col("op") != OP_DELETE).drop("op")
-    # AQE-coalesced repartition: measured A/B against explicit counts
-    # (16/32/128) — the coalesced ~12 partitions match or beat all of them
-    # (the stage is bandwidth- not straggler-bound at this scale)
+    # explicit partition count at ~3 tasks/core: AQE's post-shuffle coalesce
+    # targets bytes-per-partition, which at this payload size lands a task
+    # count BELOW the core count's next multiple (measured: 5 tasks on 4
+    # cores = a full wave of 4 then a 1-task straggler wave, ~40% of the
+    # stage idle).  The extract stage is python-worker-bound, so wave
+    # balance — not bytes — is the binding constraint; 3x parallelism keeps
+    # the tail short at every cluster size and still amortizes per-task
+    # setup.  Cluster-scale: defaultParallelism = total executor cores.
+    n_parts = max(upserts.sparkSession.sparkContext.defaultParallelism * 4, 8)
     tagged = upserts.withColumn("_bucket", bucket_expr(key, n_buckets)).repartition(
-        F.col("_bucket")
+        n_parts, F.col("_bucket")
     )
 
     in_cols = [f.name for f in tagged.schema.fields if f.name != "_bucket"]
@@ -201,8 +207,11 @@ def apply_batch(
             # FUSED bulk path: no stored rows and no guard means the
             # stale filter and guard are provably no-ops — winner rows go
             # through one bucket-keyed shuffle with the duplicate collapse
-            # and text extraction fused into a single Arrow pass.
-            new_data = _bulk_upserts(resolved, key, nb, evolved, _caches)
+            # and text extraction fused into a single Arrow pass.  Passed
+            # as a thunk: the winner-offset collect inside it (a full
+            # narrow scan) then runs in overwrite_buckets' pool thread,
+            # overlapping the tombstone/lineage append jobs.
+            new_data = lambda: _bulk_upserts(resolved, key, nb, evolved, _caches)  # noqa: E731
             pre_partitioned = True
         else:
             pre_partitioned = False

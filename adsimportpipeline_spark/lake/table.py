@@ -236,7 +236,7 @@ class LakeTable:
 
     def overwrite_buckets(
         self,
-        new_data: DataFrame,
+        new_data,
         touched_buckets: list[int],
         epoch_source: str | None = None,
         epoch: int | None = None,
@@ -254,7 +254,15 @@ class LakeTable:
         ``new_data`` so each url's rows are co-located by
         ``bucket_expr(key, n_buckets)`` (the fused bulk apply path does);
         the write then skips its own repartition — no second payload
-        shuffle."""
+        shuffle.
+
+        ``new_data`` may be a CALLABLE returning the DataFrame: plan
+        construction then happens inside the main write's pool thread, so
+        any eager work it does (the LWW winner-offset collect is a full
+        narrow scan of the batch) runs CONCURRENTLY with the tombstone and
+        lineage append jobs instead of serializing before them — on an
+        otherwise idle 4-core leg those small jobs fill the scan's wave
+        gaps for free."""
         m = self.manifest()
         key, nb = m["key"], m["n_buckets"]
 
@@ -272,12 +280,13 @@ class LakeTable:
         # interleaves their tasks, so the small appends ride along instead of
         # serializing after the big write (atomicity is unaffected: nothing
         # is visible until the single manifest flip below).
-        tagged = new_data.withColumn("_bucket", bucket_expr(key, nb))
-        if not pre_partitioned:
-            tagged = tagged.repartition(F.col("_bucket"))
         d = os.path.join(self.root, "data", f"c-{uuid.uuid4().hex[:12]}")
 
         def _write_main() -> None:
+            df = new_data() if callable(new_data) else new_data
+            tagged = df.withColumn("_bucket", bucket_expr(key, nb))
+            if not pre_partitioned:
+                tagged = tagged.repartition(F.col("_bucket"))
             tagged.write.mode("overwrite").partitionBy("_bucket").parquet(d)
 
         # repartition(1), not coalesce(1): coalesce would collapse the whole

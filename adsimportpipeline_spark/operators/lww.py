@@ -32,6 +32,60 @@ from pyspark.sql import functions as F
 DEFAULT_ORDER = ("warc_ts", "log_offset")
 
 
+def _metadata_row_upper_bound(df: DataFrame, max_files: int = 1024) -> int | None:
+    """Upper bound on ``df``'s row count from parquet footers alone (no data
+    scan, no job).  None when the frame is not a plain parquet file scan or
+    listing the footers would itself be expensive — callers must treat None
+    as "unknown, measure instead".  Filters applied on top of the scan only
+    make the true count smaller, so the bound stays valid."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > max_files:
+        return None
+    try:
+        import urllib.parse
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            if ".parquet" not in f and not f.endswith(".pq"):
+                return None
+            p = urllib.parse.urlparse(f)
+            path = urllib.parse.unquote(p.path) if p.scheme in ("file", "") else None
+            if path is None:
+                return None  # non-local URI: footer read may be a remote call
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
+def _offset_broadcast_cap_rows(spark, floor_rows: int) -> int:
+    """How many 8-byte offset rows fit the broadcast budget: derived from
+    ``spark.sql.autoBroadcastJoinThreshold`` (bytes / 8), never below the
+    caller's row cap — byte-aware sizing per executor memory, as a
+    count-only gate can OOM small JVMs long before a row cap trips."""
+    raw = None
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    except Exception:
+        pass
+    try:
+        s = str(raw).strip().lower()
+        mult = 1
+        for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+            if s.endswith(suf):
+                s, mult = s[: -len(suf)], m
+                break
+        thr_bytes = int(float(s)) * mult
+    except Exception:
+        thr_bytes = 10 << 20
+    return max(thr_bytes // 8, min(floor_rows, 1_000_000))
+
+
 def _order_struct(order_cols: tuple[str, ...]):
     return F.struct(*[F.col(c) for c in order_cols])
 
@@ -135,22 +189,44 @@ def lww_winner_rows(
             F.col(f"_w.{unique_order_col}").alias(unique_order_col)
         )
     if broadcast_keys is None and unique_order_col is not None:
-        # single-job measure-and-fetch: the winner offsets ARE the broadcast
-        # payload (8 B/row), so collect up to the cap + 1 directly — the
-        # same rows the broadcast exchange would collect anyway.  One
-        # distributed job decides the strategy AND delivers the relation
-        # (as a driver-local Arrow table), where persist+count+broadcast
-        # costs a second job plus a cache round-trip.  Overflow (cap + 1
-        # rows returned) falls back to the shuffled join, which recomputes
-        # the aggregate inside the main job — the 10^9-key bulk case.
-        try:
-            tbl = keys.limit(broadcast_max_keys + 1).toArrow()
-            n_keys = tbl.num_rows
-        except Exception:
-            tbl, n_keys = None, broadcast_max_keys + 1
-        if tbl is not None and n_keys <= broadcast_max_keys:
-            local = df.sparkSession.createDataFrame(tbl.to_pandas())
-            return df.join(F.broadcast(local), unique_order_col)
+        # 0-cost decision first: parquet footers give an UPPER BOUND on the
+        # key count (keys <= source rows) without touching data.  When the
+        # bound already fits the broadcast budget (8 B per offset row vs
+        # autoBroadcastJoinThreshold), hint the broadcast directly — the
+        # winner aggregation then runs INSIDE the main job's broadcast
+        # exchange: one narrow scan total, no measuring job, no barrier,
+        # and (in the apply path) fully overlapped with the tombstone/
+        # lineage jobs.  A 10^10-row log blows the bound and falls through
+        # to measure-and-cache below.
+        ub = _metadata_row_upper_bound(df)
+        cap_rows = _offset_broadcast_cap_rows(df.sparkSession, broadcast_max_keys)
+        if ub is not None and ub <= cap_rows:
+            return df.join(F.broadcast(keys), unique_order_col)
+    if broadcast_keys is None and unique_order_col is not None:
+        # measure-and-cache: persist the winner-offset aggregate, count it
+        # (one narrow scan — the count's materialization IS the relation
+        # the join consumes), and broadcast FROM THE CACHE.  The broadcast
+        # exchange then collects from InMemoryTableScan entirely JVM-side
+        # (~0.3s for 300k offsets).  The previous design collected the
+        # offsets to the driver as an Arrow table and re-created a local
+        # DataFrame from it — measured at 4 cores, that Arrow->LocalRelation
+        # round-trip plus re-broadcast left every core idle for >1s per
+        # batch, a pure serial term in the N-vs-4N scaling ratio.  Overflow
+        # falls back to the shuffled join (the 10^9-key bulk case never
+        # touches driver memory).
+        from pyspark.storagelevel import StorageLevel
+
+        keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+        n_keys = keys.count()
+        if cleanup is not None:
+            cleanup.append(keys)
+        if n_keys <= broadcast_max_keys:
+            out = df.join(F.broadcast(keys), unique_order_col)
+            if cleanup is None:
+                keys.unpersist()  # plan keeps the lineage; worst case re-agg
+            return out
+        if cleanup is None:
+            keys.unpersist()
         broadcast_keys = False
     if broadcast_keys is None:
         from pyspark.storagelevel import StorageLevel

@@ -405,3 +405,48 @@ class LakeTable:
             except OSError:
                 pass
         return expired
+
+    def remove_orphans(self, older_than_sec: float = 3600.0) -> list[str]:
+        """Delete data files under the table root that NO manifest (retained
+        or expired-but-present) references — the debris of crashed commits,
+        whose data directories were fully written but whose manifest flip
+        never happened (Iceberg remove_orphan_files analog).
+        ``expire_snapshots`` cannot reach these: it walks manifests, and a
+        crashed commit has none.
+
+        ``older_than_sec`` is the standard in-flight-commit guard: a file
+        younger than the grace window may belong to a commit that is being
+        written RIGHT NOW (files land before the manifest), so only files
+        older than the window are eligible.  Empty directories left behind
+        are pruned.  Returns the deleted paths."""
+        import time as _time
+
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        live: set[str] = set()
+        for f in os.listdir(mdir):
+            if len(f) == 14 and f.startswith("v") and f.endswith(".json") and f[1:9].isdigit():
+                m = self.manifest(int(f[1:9]))
+                for es in m["buckets"].values():
+                    live.update(os.path.realpath(e["path"]) for e in es)
+                live.update(os.path.realpath(e["path"]) for e in m["tombstone_files"])
+                live.update(os.path.realpath(e["path"]) for e in m["lineage_files"])
+        cutoff = _time.time() - older_than_sec
+        removed: list[str] = []
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                if os.path.realpath(p) in live:
+                    continue
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                        removed.append(p)
+                except OSError:
+                    continue
+            if dirpath != data_root:
+                try:
+                    os.rmdir(dirpath)  # only succeeds when empty
+                except OSError:
+                    pass
+        return removed

@@ -190,26 +190,10 @@ def replay_child(cores: int, log_path: str, n_events: int) -> None:
     spark.range(0, cores * 4, 1, cores * 4).select(
         html_to_text(F.encode(F.lit("<p>warm</p>"), "utf-8"))
     ).write.format("noop").mode("overwrite").save()
-    # warm-up 2: compile-and-JIT the EXACT timed plan.  The apply plan's
-    # whole-stage-codegen classes cost ~4-5s to generate+compile+tier-up —
-    # a CONSTANT independent of core count, i.e. pure Amdahl serial time
-    # that would dominate the N-vs-4N ratio.  Applying a 1/16 file subset
-    # of the same log (same schema, same n_buckets literal, same plan
-    # shape — only the file list differs, which codegen never sees) warms
-    # the same generated classes at ~1/16 the data cost.  Steady-state
-    # measurement, applied identically to both legs.
-    import glob as _glob
-
-    warm_root = tempfile.mkdtemp(prefix=f"benchwarm{cores}-", dir=SCRATCH)
-    warm_table = LakeTable.create(spark, warm_root, PAGES_SCHEMA, n_buckets=128)
-    warm_files = sorted(
-        _glob.glob(os.path.join(log_path, "part-*"))
-    )[: max(len(_glob.glob(os.path.join(log_path, "part-*"))) // 8, 1)]
-    from adsimportpipeline_spark.schema import CHANGE_EVENT_SCHEMA
-
-    warm_df = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*warm_files)
-    apply_batch(warm_table, warm_df, batch_id=0, prune_buckets=False)
-    shutil.rmtree(warm_root, ignore_errors=True)
+    # (no separate plan-warmup apply: with min-over-repeats below, run 1
+    # IS the JIT warm-up — its wall is printed and discarded by the min —
+    # and dropping the former 1/8-subset warm apply saves ~30s per pair,
+    # which buys a whole extra interleaved pair inside the budget)
 
     # STEADY-STATE measurement: the replay runs SPARK_GRAFT_BENCH_RUNS
     # times in one JVM and the MINIMUM wall is reported, every wall
@@ -431,9 +415,10 @@ def main() -> None:
     while (
         len(_clean(pairs)) < 2
         and len(pairs) < PAIRS + 2
-        and not _over_budget(reserve=160 if not _clean(pairs) else 330)
+        and not _over_budget(reserve=240 if not _clean(pairs) else 380)
     ):
         pairs.append(_measure_pair(N_HIGH, N_LOW))
+    sat_high_solo: dict | None = None
     if not _over_budget(reserve=200):
         sat_pair = _measure_pair(SAT_HIGH, SAT_LOW)
         if sat_pair["contaminated"] and not _over_budget(reserve=200):
@@ -442,6 +427,11 @@ def main() -> None:
             # understated, never overstated — prefer the less-stolen window
             if not retry["contaminated"] or retry["steal_sec"] < sat_pair["steal_sec"]:
                 sat_pair = retry
+    elif not _over_budget(reserve=150):
+        # no room for the full saturated pair (a retry consumed it): keep
+        # the round-comparable widest-parallelism headline with a solo
+        # high leg
+        sat_high_solo = _run_child(SAT_HIGH, log_path, N_EVENTS)
 
     # --- headline queries at full parallelism ---------------------------
     from pyspark.sql import functions as F
@@ -542,7 +532,13 @@ def main() -> None:
 
     # round-comparable headline: the widest measured parallelism (the
     # saturated pair's 8-core leg when it ran, else the primary high leg)
-    value = sat_pair["events_per_sec_high"] if sat_pair else round(thr_high_med, 1)
+    value = (
+        sat_pair["events_per_sec_high"]
+        if sat_pair
+        else round(sat_high_solo["events_per_sec"], 1)
+        if sat_high_solo
+        else round(thr_high_med, 1)
+    )
     result = {
         "metric": "change_events_per_sec",
         "value": value,
@@ -566,6 +562,7 @@ def main() -> None:
             # headline: the strong (same-input) number — the honest one
             "efficiency": round(strong_eff, 3),
             "saturated_pair": sat_pair,
+            "saturated_high_solo": sat_high_solo,
             "saturated_cores": [SAT_LOW, SAT_HIGH],
             "machine": machine,
             "pairs": pairs,

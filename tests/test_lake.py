@@ -149,3 +149,35 @@ def test_concurrent_manifest_commit_never_lost(spark, tmp_path):
     assert t.manifest()["version"] == t.current_version()
     # no leaked tmp files
     assert not [f for f in os.listdir(mdir) if ".tmp-" in f]
+
+
+def test_remove_orphans_cleans_crashed_commit_only(spark, tmp_path):
+    """A crashed commit fully writes its data directory but never flips the
+    manifest — expire_snapshots can't reach it (it walks manifests), so
+    remove_orphans must: delete unreferenced files past the grace window,
+    keep every manifest-referenced file, and keep young unreferenced files
+    (they may belong to an in-flight commit)."""
+    import os
+    import time
+
+    t = LakeTable.create(spark, str(tmp_path / "t6"), PAGES_SCHEMA, n_buckets=2)
+    t.overwrite_buckets(_rows(spark, ["u1", "u2"]), [0, 1], epoch_source="cdc", epoch=0)
+    live_rows = {tuple(r) for r in t.read().collect()}
+
+    # simulate a crashed commit: a fully-written data dir, no manifest
+    crashed = os.path.join(t.root, "data", "c-crashedcommit")
+    _rows(spark, ["zombie"]).write.mode("overwrite").parquet(crashed)
+    old = time.time() - 7200
+    for dirpath, _d, files in os.walk(crashed):
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (old, old))
+
+    # a YOUNG unreferenced dir = maybe an in-flight commit: must survive
+    inflight = os.path.join(t.root, "data", "c-inflight")
+    _rows(spark, ["young"]).write.mode("overwrite").parquet(inflight)
+
+    removed = t.remove_orphans(older_than_sec=3600)
+    assert removed and all("c-crashedcommit" in p for p in removed)
+    assert not os.path.exists(crashed)  # empty dirs pruned
+    assert os.path.isdir(inflight)  # grace window respected
+    assert {tuple(r) for r in t.read().collect()} == live_rows  # live data intact

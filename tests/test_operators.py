@@ -272,3 +272,60 @@ def test_tombstone_guard_custom_order_cols(spark):
     )
     out = tombstone_guard(incoming, tombs, key="url", order_cols=("ts", "event_id"))
     assert sorted(r["url"] for r in out.collect()) == ["u1", "u3", "u4"]
+
+
+def test_metadata_row_upper_bound_and_cap(spark, tmp_path):
+    """The 0-cost broadcast gate: parquet footers bound the row count for a
+    plain file scan (filters keep the bound valid), return None for
+    non-file frames, and the byte-derived offset cap tracks the session's
+    autoBroadcastJoinThreshold."""
+    from adsimportpipeline_spark.operators.lww import (
+        _metadata_row_upper_bound,
+        _offset_broadcast_cap_rows,
+    )
+
+    p = str(tmp_path / "ub")
+    spark.range(0, 1000).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert _metadata_row_upper_bound(df) == 1000
+    # a filter shrinks the true count; the bound stays a valid upper bound
+    assert _metadata_row_upper_bound(df.filter("id < 10")) == 1000
+    # not a file scan -> unknown
+    assert _metadata_row_upper_bound(spark.range(5)) is None
+
+    thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    assert _offset_broadcast_cap_rows(spark, 4_000_000) == max(thr // 8, 1_000_000)
+
+
+def test_lww_winner_rows_hash_grouping_matches_string_grouping(spark):
+    """The 128-bit-hash argmax must produce exactly the winner set the
+    url-string argmax produces (collisions are ~2^-128; none in any finite
+    test), across both the metadata-broadcast and forced-shuffle paths."""
+    from adsimportpipeline_spark.operators.lww import lww_winner_rows
+
+    rows = [
+        (f"u{i % 37}", i % 11, i) for i in range(500)
+    ]  # 37 urls, ties on warc_ts broken by offset
+    df = spark.createDataFrame(rows, "url string, warc_ts int, log_offset long")
+    expected = {
+        (r["url"], r["log_offset"])
+        for r in lww_winner_rows(df, "url", ("warc_ts", "log_offset")).collect()
+    }
+    got = {
+        (r["url"], r["log_offset"])
+        for r in lww_winner_rows(
+            df, "url", ("warc_ts", "log_offset"), unique_order_col="log_offset"
+        ).collect()
+    }
+    assert got == expected
+    forced = {
+        (r["url"], r["log_offset"])
+        for r in lww_winner_rows(
+            df,
+            "url",
+            ("warc_ts", "log_offset"),
+            unique_order_col="log_offset",
+            broadcast_keys=False,
+        ).collect()
+    }
+    assert forced == expected

@@ -86,3 +86,20 @@ def test_broadcast_join_in_lookup(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     j = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).groupBy("c_mktsegment").count()
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_winner_rows_metadata_gate_plans_broadcast(spark, sf_dir):
+    """The bulk path's winner fetch: when parquet footers prove the source
+    row count fits the offset-broadcast budget, the plan must be a
+    BroadcastHashJoin on log_offset with NO measuring job and NO payload
+    shuffle (a regression to a sort-merge/shuffled join here re-shuffles
+    every winner payload at 10^10 scale)."""
+    from adsimportpipeline_spark.operators.lww import lww_winner_rows
+
+    ev = _ev(spark, sf_dir)  # a plain parquet scan -> footer bound available
+    plan = _plan(lww_winner_rows(ev, unique_order_col="log_offset"))
+    assert "BroadcastHashJoin" in plan and "log_offset" in plan
+    assert "SortMergeJoin" not in plan
+    # the probe side must stay a bare scan: its payload is never exchanged
+    probe_side = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in probe_side

@@ -82,14 +82,17 @@ def _bulk_upserts(
         batch_df, key, cleanup=cleanup, unique_order_col="log_offset"
     )
     upserts = winners.filter(F.col("op") != OP_DELETE).drop("op")
-    # explicit partition count at ~3 tasks/core: AQE's post-shuffle coalesce
+    # explicit partition count at 4 tasks/core: AQE's post-shuffle coalesce
     # targets bytes-per-partition, which at this payload size lands a task
     # count BELOW the core count's next multiple (measured: 5 tasks on 4
     # cores = a full wave of 4 then a 1-task straggler wave, ~40% of the
     # stage idle).  The extract stage is python-worker-bound, so wave
-    # balance — not bytes — is the binding constraint; 3x parallelism keeps
+    # balance — not bytes — is the binding constraint; 4x parallelism keeps
     # the tail short at every cluster size and still amortizes per-task
     # setup.  Cluster-scale: defaultParallelism = total executor cores.
+    # NOTE: the repartition hashes on _bucket, so the number of NON-EMPTY
+    # partitions is bounded by min(n_parts, n_buckets) — n_parts beyond
+    # n_buckets buys nothing; size n_buckets >= cores*4 to keep waves full.
     n_parts = max(upserts.sparkSession.sparkContext.defaultParallelism * 4, 8)
     tagged = upserts.withColumn("_bucket", bucket_expr(key, n_buckets)).repartition(
         n_parts, F.col("_bucket")
@@ -331,6 +334,9 @@ def apply_batch(
             tombstone_appends=tomb_appends,
             lineage_appends=lineage_df,
             pre_partitioned=pre_partitioned,
+            # revalidation parent = the snapshot THIS batch's plan read at
+            # its top (bucket pruning, has_current, epochs all came from it)
+            parent_version=m["version"],
         )
         _mark("commit_write")
         # periodic fold of the append-only tombstone/lineage branches keeps

@@ -49,6 +49,14 @@ from ..evolve import align_to_schema
 
 _MANIFEST_DIR = "_manifests"
 _CURRENT = "_CURRENT"
+_COMMIT_LOCK = "_COMMIT_LOCK"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed between this commit's plan and its publish
+    (Iceberg optimistic-concurrency revalidation failure).  The loser must
+    re-read the current snapshot and re-plan; its data files are orphaned
+    and reclaimed by :meth:`LakeTable.remove_orphans`."""
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -82,7 +90,7 @@ class LakeTable:
             os.fsync(f.fileno())
         os.replace(tmp, path)
 
-    def _commit_manifest(self, m: dict) -> int:
+    def _commit_manifest(self, m: dict, parent_version: int | None = None) -> int:
         """Publish a manifest at the next free version via a hard-link CAS.
 
         ``os.link(tmp, final)`` fails with EEXIST atomically, so a version
@@ -90,40 +98,59 @@ class LakeTable:
         followed by ``os.replace`` would let two concurrent committers (or
         a committer racing a crashed commit's leftover) both claim vN, the
         second silently destroying the first (the optimistic-concurrency
-        CAS Iceberg performs against its catalog).  On collision the writer
-        advances to the next version and retries; the collided manifest is
-        preserved on disk either way.  The engine's operating model is one
-        streaming writer per table (Structured Streaming's one-query-per-
-        sink), so collisions in practice are crash leftovers — a true
-        second live writer keeps file-level integrity but its delta is
-        superseded by whoever advances _CURRENT last (real Iceberg would
-        reject that commit for revalidation; documented gap)."""
-        v = m["version"]
-        tmp = self._manifest_path(v) + f".tmp-{uuid.uuid4().hex[:8]}"
+        CAS Iceberg performs against its catalog).
 
-        def _write_tmp() -> None:
-            with open(tmp, "w") as f:
-                json.dump(m, f, indent=1)
-                f.flush()
-                os.fsync(f.fileno())
+        ``parent_version`` enables Iceberg-style commit REVALIDATION for
+        multi-writer safety: it names the snapshot this commit's changes
+        were planned against.  If ``_CURRENT`` has advanced past it when
+        the commit publishes, another writer committed in between — this
+        commit's reads (bucket survivors, epochs, schema) are stale — and
+        :class:`CommitConflictError` is raised; the caller must re-plan
+        against the new current snapshot (a backfill racing the stream
+        loses cleanly instead of silently reverting the stream's delta).
+        The revalidate-and-flip runs under an exclusive ``flock`` so two
+        same-parent writers cannot interleave check and flip (without it,
+        both could pass the check before either flips — a lost update).
+        Crash-leftover manifests (claimed version file, ``_CURRENT`` never
+        flipped) do NOT raise: the claim loop skips them and the check
+        compares against ``_CURRENT``, which they never touched."""
+        import fcntl
 
-        m["version"] = v
-        _write_tmp()
-        try:
-            while True:
-                try:
-                    os.link(tmp, self._manifest_path(v))
-                    break
-                except FileExistsError:
-                    v += 1
-                    m["version"] = v  # version is inside the content
-                    _write_tmp()
-        finally:
+        with open(os.path.join(self.root, _COMMIT_LOCK), "w") as lock_f:
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            if parent_version is not None:
+                cur = self.current_version()
+                if cur != parent_version:
+                    raise CommitConflictError(
+                        f"commit planned against v{parent_version} but the "
+                        f"table advanced to v{cur}; re-read and re-plan"
+                    )
+            v = m["version"]
+            tmp = self._manifest_path(v) + f".tmp-{uuid.uuid4().hex[:8]}"
+
+            def _write_tmp() -> None:
+                with open(tmp, "w") as f:
+                    json.dump(m, f, indent=1)
+                    f.flush()
+                    os.fsync(f.fileno())
+
+            m["version"] = v
+            _write_tmp()
             try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-        self._atomic_write(os.path.join(self.root, _CURRENT), str(v))
+                while True:
+                    try:
+                        os.link(tmp, self._manifest_path(v))
+                        break
+                    except FileExistsError:
+                        v += 1
+                        m["version"] = v  # version is inside the content
+                        _write_tmp()
+            finally:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+            self._atomic_write(os.path.join(self.root, _CURRENT), str(v))
         return v
 
     # -------------------------------------------------------------- create
@@ -244,6 +271,7 @@ class LakeTable:
         tombstone_appends: DataFrame | None = None,
         lineage_appends: DataFrame | None = None,
         pre_partitioned: bool = False,
+        parent_version: int | None = None,
     ) -> int:
         """Copy-on-write commit: replace the file groups of ``touched_buckets``
         with ``new_data`` (which must contain only rows of those buckets),
@@ -262,8 +290,17 @@ class LakeTable:
         narrow scan of the batch) runs CONCURRENTLY with the tombstone and
         lineage append jobs instead of serializing before them — on an
         otherwise idle 4-core leg those small jobs fill the scan's wave
-        gaps for free."""
+        gaps for free.
+
+        ``parent_version`` names the snapshot this commit's plan was built
+        against (a caller that read the manifest earlier passes it down);
+        default = the version read here.  Either way the commit REVALIDATES:
+        if another writer advanced the table in between, the publish raises
+        :class:`CommitConflictError` instead of silently superseding the
+        other writer's delta (Iceberg optimistic concurrency)."""
         m = self.manifest()
+        if parent_version is None:
+            parent_version = m["version"]
         key, nb = m["key"], m["n_buckets"]
 
         if new_schema is not None and new_schema.json() != m["schemas"][str(m["current_schema_id"])]:
@@ -326,7 +363,7 @@ class LakeTable:
             m["committed_epochs"][epoch_source] = int(epoch)
 
         m["version"] = m["version"] + 1
-        return self._commit_manifest(m)
+        return self._commit_manifest(m, parent_version=parent_version)
 
     def compact(self, bucket_ids: list[int] | None = None) -> int:
         """Small-file compaction: rewrite each bucket's file group into a
@@ -336,7 +373,9 @@ class LakeTable:
         if bucket_ids is None:
             bucket_ids = [int(b) for b in m["buckets"]]
         data = self.read_buckets(bucket_ids, m)
-        return self.overwrite_buckets(data, bucket_ids, new_schema=self.schema(m))
+        return self.overwrite_buckets(
+            data, bucket_ids, new_schema=self.schema(m), parent_version=m["version"]
+        )
 
     def compact_appends(self) -> int:
         """Fold the append-only tombstone/lineage branches — one file per
@@ -347,6 +386,7 @@ class LakeTable:
         periodic folding both stay O(1).  Contents are preserved exactly
         (the audit log is a distinct set; folding does not dedup rows)."""
         m = self.manifest()
+        parent = m["version"]
         for branch, tag in (("tombstone_files", "tomb"), ("lineage_files", "lin")):
             paths = [e["path"] for e in m[branch]]
             if len(paths) <= 1:
@@ -358,7 +398,7 @@ class LakeTable:
                 for p in self._parquet_files(d)
             ]
         m["version"] = m["version"] + 1
-        return self._commit_manifest(m)
+        return self._commit_manifest(m, parent_version=parent)
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop manifests older than the newest ``keep_last`` and delete

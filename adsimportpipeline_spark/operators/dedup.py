@@ -149,16 +149,36 @@ def jaccard_verify(
     id_col: str = "doc_id",
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs only (never all-pairs)."""
-    sets = shingles.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
-    j = (
-        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    """Exact n-gram Jaccard over candidate pairs only (never all-pairs).
+
+    Scale shape: a (pair, shingle) EQUI-JOIN COUNT, never materialized
+    shingle-set arrays.  The earlier formulation collect_set-ed each doc's
+    full shingle set and shipped it to every candidate pair — with
+    10k-shingle web documents and one hot candidate, those were the batch's
+    widest rows replicated per pair.  Here the intersection is counted
+    relationally: candidate pairs explode against the shingle table twice
+    (rows stay a bounded (id_a, id_b, shingle) width), ``groupBy`` counts
+    matches, and union sizes come from a per-doc count join —
+    ``|A ∪ B| = |A| + |B| - |A ∩ B|``.  Requires ``threshold > 0``
+    (zero-intersection pairs drop out of the count join; they could never
+    pass a positive threshold anyway — asserted)."""
+    assert threshold > 0, "equi-join count drops 0-intersection pairs"
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    j = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        j.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -172,9 +192,20 @@ def minhash_dedup_pairs(
     band_size: int = 2,
     threshold: float = 0.7,
     bucket_cap: int | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify."""
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify.
+
+    ``cleanup``: when a list is passed, the shingle frame is persisted and
+    appended for the CALLER to unpersist after its action (the lww cleanup
+    convention — operators/lww.py).  Without one, nothing is persisted: the
+    shingle subtree appears multiple times in the one plan and its distinct
+    shuffle is shared via ReusedExchange, so a long-lived session can never
+    leak pinned storage from this operator."""
+    sh = word_shingles(df, id_col, text_col, n)
+    if cleanup is not None:
+        sh = sh.persist()
+        cleanup.append(sh)
     pairs = lsh_candidate_pairs(
         minhash_signatures(sh, id_col, k), id_col, k, band_size, bucket_cap=bucket_cap
     )
@@ -292,11 +323,29 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Cosine >= threshold pairs via brute self-join (correctness baseline;
-    the scale path is :func:`embedding_near_dups_lsh`)."""
+    the scale path is :func:`embedding_near_dups_lsh`).
+
+    The self-join is non-equi (BroadcastNestedLoop / cartesian): O(n^2)
+    comparisons AND an n-way replication of the corpus.  It exists only to
+    measure the LSH twin's recall, so it REFUSES to run when the parquet
+    footers prove the input exceeds ``max_rows`` — a user pointing it at a
+    big table gets an actionable error instead of a runaway job.  (When the
+    input is not a plain file scan the bound is unknown and the caller is
+    trusted — the guard is best-effort, the LSH path is the default.)"""
+    from .lww import _metadata_row_upper_bound
     from .similarity import cosine_expr
 
+    ub = _metadata_row_upper_bound(df)
+    if ub is not None and ub > max_rows:
+        raise ValueError(
+            f"embedding_near_dups is an O(n^2) correctness baseline; input has "
+            f"up to {ub} rows (> max_rows={max_rows}). Use "
+            f"embedding_near_dups_lsh for large tables, or raise max_rows "
+            f"explicitly if you really mean it."
+        )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     j = a.join(b, F.col("id_a") < F.col("id_b"))

@@ -32,12 +32,46 @@ from pyspark.sql import functions as F
 DEFAULT_ORDER = ("warc_ts", "log_offset")
 
 
+def _is_simple_scan(df: DataFrame) -> bool:
+    """True iff ``df``'s analyzed plan is ONE file-relation leaf with only
+    row-preserving-or-reducing nodes (Project/Filter/alias) above it.  A
+    join, explode/generate, or self-union would make ``inputFiles()`` an
+    invalid row-count proxy (Spark dedupes the file list; a join multiplies
+    rows), so footer arithmetic is only trusted on this shape."""
+    allowed_inner = {"Project", "Filter", "SubqueryAlias", "ResolvedHint", "View"}
+    allowed_leaf = {"LogicalRelation", "Relation", "RelationV2", "LogicalRDD"}
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        leaves = 0
+        while stack:
+            node = stack.pop()
+            ch = node.children()
+            n = ch.size()
+            if n == 0:
+                leaves += 1
+                if node.nodeName() not in allowed_leaf:
+                    return False
+            else:
+                if node.nodeName() not in allowed_inner:
+                    return False
+                for i in range(n):
+                    stack.append(ch.apply(i))
+        return leaves == 1
+    except Exception:
+        return False
+
+
 def _metadata_row_upper_bound(df: DataFrame, max_files: int = 1024) -> int | None:
     """Upper bound on ``df``'s row count from parquet footers alone (no data
     scan, no job).  None when the frame is not a plain parquet file scan or
     listing the footers would itself be expensive — callers must treat None
     as "unknown, measure instead".  Filters applied on top of the scan only
-    make the true count smaller, so the bound stays valid."""
+    make the true count smaller, so the bound stays valid.  The plan shape
+    is validated first: for a join / generate / self-union, ``inputFiles()``
+    under-counts (files dedupe; joins multiply rows), so those shapes
+    return None rather than a bogus bound."""
+    if not _is_simple_scan(df):
+        return None
     try:
         files = df.inputFiles()
     except Exception:
@@ -63,11 +97,12 @@ def _metadata_row_upper_bound(df: DataFrame, max_files: int = 1024) -> int | Non
         return None
 
 
-def _offset_broadcast_cap_rows(spark, floor_rows: int) -> int:
-    """How many 8-byte offset rows fit the broadcast budget: derived from
-    ``spark.sql.autoBroadcastJoinThreshold`` (bytes / 8), never below the
-    caller's row cap — byte-aware sizing per executor memory, as a
-    count-only gate can OOM small JVMs long before a row cap trips."""
+def _offset_broadcast_cap_rows(spark, max_rows: int) -> int:
+    """How many 8-byte offset rows fit the broadcast budget: the tighter of
+    ``spark.sql.autoBroadcastJoinThreshold`` (bytes / 8) and the caller's
+    explicit row cap — a caller sizing for small executors must never be
+    silently overridden upward.  A non-positive threshold means the user
+    disabled broadcast joins: return 0 (gate off, no forced broadcasts)."""
     raw = None
     try:
         raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
@@ -83,7 +118,9 @@ def _offset_broadcast_cap_rows(spark, floor_rows: int) -> int:
         thr_bytes = int(float(s)) * mult
     except Exception:
         thr_bytes = 10 << 20
-    return max(thr_bytes // 8, min(floor_rows, 1_000_000))
+    if thr_bytes <= 0:
+        return 0
+    return min(thr_bytes // 8, max_rows)
 
 
 def _order_struct(order_cols: tuple[str, ...]):
@@ -216,7 +253,7 @@ def lww_winner_rows(
         # to measure-and-cache below.
         ub = _metadata_row_upper_bound(df)
         cap_rows = _offset_broadcast_cap_rows(df.sparkSession, broadcast_max_keys)
-        if ub is not None and ub <= cap_rows:
+        if cap_rows > 0 and ub is not None and ub <= cap_rows:
             return df.join(F.broadcast(keys), unique_order_col)
     if broadcast_keys is None and unique_order_col is not None:
         # measure-and-cache: persist the winner-offset aggregate, count it
@@ -236,7 +273,7 @@ def lww_winner_rows(
         n_keys = keys.count()
         if cleanup is not None:
             cleanup.append(keys)
-        if n_keys <= broadcast_max_keys:
+        if n_keys <= cap_rows:
             out = df.join(F.broadcast(keys), unique_order_col)
             if cleanup is None:
                 keys.unpersist()  # plan keeps the lineage; worst case re-agg
@@ -253,7 +290,9 @@ def lww_winner_rows(
             cleanup.append(keys)
         else:
             keys.unpersist()
-        broadcast_keys = n_keys <= broadcast_max_keys
+        broadcast_keys = n_keys <= _offset_broadcast_cap_rows(
+            df.sparkSession, broadcast_max_keys
+        )
     if broadcast_keys:
         keys = F.broadcast(keys)
     else:

@@ -47,6 +47,51 @@ def test_bucket_cap_bounds_pairs_and_is_audited(spark):
     sigs.unpersist()
 
 
+def test_jaccard_verify_equi_join_matches_set_formula(spark):
+    """The (pair, shingle) equi-join count must reproduce the literal
+    set-intersection/union Jaccard exactly (same 6-dp rounding), including
+    dropping sub-threshold and zero-intersection pairs."""
+    from adsimportpipeline_spark.operators.dedup import jaccard_verify, word_shingles
+
+    docs = _corpus(spark)
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    pairs = spark.createDataFrame(
+        [(1000, 1001), (0, 1), (0, 1000)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_verify(pairs, sh, "doc_id", threshold=0.1).collect()
+    }
+    # oracle: python sets over the same shingles
+    sh_rows = sh.collect()
+    sets: dict = {}
+    for r in sh_rows:
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    want = {}
+    for a, b in [(1000, 1001), (0, 1), (0, 1000)]:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        jac = round(inter / union, 6)
+        if jac >= 0.1:
+            want[(a, b)] = jac
+    assert got == want
+    assert (0, 1000) not in got  # zero-intersection pair dropped
+
+
+def test_brute_near_dups_refuses_big_scans(spark, sf_dir, tmp_path):
+    """The O(n^2) baseline must refuse when footers prove the input exceeds
+    max_rows, and point at the LSH twin."""
+    import pytest as _pytest
+
+    from adsimportpipeline_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="embedding_near_dups_lsh"):
+        embedding_near_dups(emb, max_rows=100)
+    # under the bound it runs; explicit override also runs
+    assert embedding_near_dups(emb, threshold=0.25).count() > 0
+
+
 def test_lsh_ann_recall_floor(spark, sf_dir):
     """Multi-probe LSH-ANN must recall a healthy share of the exact top-5
     and never less than single-probe (the recall lever actually levers)."""

@@ -151,6 +151,62 @@ def test_concurrent_manifest_commit_never_lost(spark, tmp_path):
     assert not [f for f in os.listdir(mdir) if ".tmp-" in f]
 
 
+def test_two_writer_conflict_rejected_not_last_wins(spark, tmp_path):
+    """Iceberg-style commit revalidation: two live writers plan against the
+    same snapshot; the first commit lands, the second must RAISE (its reads
+    are stale) instead of silently superseding the first's delta."""
+    import pytest as _pytest
+
+    from adsimportpipeline_spark.lake.table import CommitConflictError
+
+    root = str(tmp_path / "mw")
+    a = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=4)
+    a.overwrite_buckets(_rows(spark, ["seed"]), list(range(4)))
+
+    b = LakeTable.load(spark, root)
+    parent = a.current_version()
+    assert b.current_version() == parent  # both planned against the same snapshot
+
+    a.overwrite_buckets(_rows(spark, ["from-a"]), list(range(4)),
+                        parent_version=parent)
+    with _pytest.raises(CommitConflictError):
+        b.overwrite_buckets(_rows(spark, ["from-b"]), list(range(4)),
+                            parent_version=parent)
+    # the winner's delta is intact and _CURRENT advanced exactly once
+    assert {r["url"] for r in a.read().collect()} == {"from-a"}
+    assert a.current_version() == parent + 1
+    # the loser can re-plan against the NEW snapshot and then succeed
+    b.overwrite_buckets(_rows(spark, ["from-b"]), list(range(4)),
+                        parent_version=b.current_version())
+    assert {r["url"] for r in a.read().collect()} == {"from-b"}
+
+
+def test_crash_leftover_manifest_does_not_conflict(spark, tmp_path):
+    """A crashed commit's leftover version file (claimed but _CURRENT never
+    flipped) must not raise a conflict for the next live writer — the claim
+    loop skips it and revalidation compares against _CURRENT only."""
+    import json
+    import os
+
+    root = str(tmp_path / "crash")
+    t = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=4)
+    t.overwrite_buckets(_rows(spark, ["seed"]), list(range(4)))
+    parent = t.current_version()
+    # simulate a crashed commit: version file parent+1 exists, _CURRENT unchanged
+    leftover = dict(t.manifest())
+    leftover["version"] = parent + 1
+    with open(t._manifest_path(parent + 1), "w") as f:
+        json.dump(leftover, f)
+    assert t.current_version() == parent
+
+    t.overwrite_buckets(_rows(spark, ["next"]), list(range(4)),
+                        parent_version=parent)
+    assert {r["url"] for r in t.read().collect()} == {"next"}
+    assert t.current_version() == parent + 2  # landed past the leftover
+    assert not [f for f in os.listdir(os.path.join(root, "_manifests"))
+                if ".tmp-" in f]
+
+
 def test_remove_orphans_cleans_crashed_commit_only(spark, tmp_path):
     """A crashed commit fully writes its data directory but never flips the
     manifest — expire_snapshots can't reach it (it walks manifests), so

@@ -294,7 +294,8 @@ def test_metadata_row_upper_bound_and_cap(spark, tmp_path):
     assert _metadata_row_upper_bound(spark.range(5)) is None
 
     thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    assert _offset_broadcast_cap_rows(spark, 4_000_000) == max(thr // 8, 1_000_000)
+    # the tighter of the byte budget and the caller's explicit row cap wins
+    assert _offset_broadcast_cap_rows(spark, 4_000_000) == min(thr // 8, 4_000_000)
 
 
 def test_lww_winner_rows_hash_grouping_matches_string_grouping(spark):

@@ -100,6 +100,50 @@ def test_winner_rows_metadata_gate_plans_broadcast(spark, sf_dir):
     plan = _plan(lww_winner_rows(ev, unique_order_col="log_offset"))
     assert "BroadcastHashJoin" in plan and "log_offset" in plan
     assert "SortMergeJoin" not in plan
-    # the probe side must stay a bare scan: its payload is never exchanged
-    probe_side = plan.split("BroadcastHashJoin")[0]
-    assert "Exchange hashpartitioning" not in probe_side
+    # the payload must never be exchanged: the only hash exchange allowed in
+    # the whole plan is the narrow winner aggregation on the 128-bit key
+    # hash (_h1/_h2).  (Splitting the explain text at the join marker would
+    # inspect the join's ANCESTORS, not its probe child — children print
+    # below the node — so assert over every exchange in the plan instead.)
+    for chunk in plan.split("Exchange hashpartitioning")[1:]:
+        part_cols = chunk[:200].split(")")[0]
+        for payload_col in ("url", "event_type", "warc_ts"):
+            assert payload_col not in part_cols, (
+                f"payload column {payload_col} crossed a hash exchange: {part_cols}"
+            )
+
+
+def test_metadata_bound_rejects_non_scan_shapes(spark, sf_dir):
+    """The footer row bound is only valid for a single-relation scan with
+    Project/Filter on top: a join multiplies rows and a self-union dedupes
+    the file list, so both must yield None (else the gate force-broadcasts
+    an arbitrarily large relation)."""
+    from adsimportpipeline_spark.operators.lww import _metadata_row_upper_bound
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert _metadata_row_upper_bound(ev) is not None
+    assert _metadata_row_upper_bound(
+        ev.select("event_id").filter(F.col("event_id") > 3)
+    ) is not None
+    assert _metadata_row_upper_bound(ev.unionByName(ev)) is None
+    small = ev.select("event_id")
+    assert _metadata_row_upper_bound(ev.join(small, "event_id")) is None
+    assert _metadata_row_upper_bound(
+        ev.select(F.explode(F.array("event_id", "event_id")).alias("x"))
+    ) is None
+
+
+def test_offset_broadcast_cap_honors_disabled_and_caller_cap(spark):
+    """-1 threshold (user disabled broadcast joins) must disable the gate;
+    an explicit small caller cap must never be silently raised."""
+    from adsimportpipeline_spark.operators.lww import _offset_broadcast_cap_rows
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert _offset_broadcast_cap_rows(spark, 4_000_000) == 0
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        assert _offset_broadcast_cap_rows(spark, 50_000) == 50_000
+        assert _offset_broadcast_cap_rows(spark, 100_000_000) == (64 << 20) // 8
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -79,8 +79,12 @@ _RE_PATTERNS: list[tuple[str, str]] = [
     (r"&#39;", "'"),
     (r"&amp;", "&"),
     (r"[ \t\r\f\v]+", " "),
-    (r" ?\n ?", "\n"),
-    (r"\n+", "\n"),
+    # one fused pass for what used to be two (" ?\n ?" -> "\n", then
+    # "\n+" -> "\n"): after the pass above, horizontal whitespace is single
+    # spaces only, so every maximal {space, \n} run containing a newline
+    # collapses to exactly one "\n" under both formulations — one fewer
+    # full stream over the batch (each pass materializes a new array)
+    (r"(?: ?\n ?)+", "\n"),
 ]
 
 #: compiled for the scalar path

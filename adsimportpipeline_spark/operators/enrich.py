@@ -228,6 +228,7 @@ def enrich_affiliations(
     winners: DataFrame,
     losers: DataFrame,
     key: str = "url",
+    pos_col: str | None = None,
 ) -> DataFrame:
     """Fill winner rows' missing ``affiliation`` from the loser list of the
     same key by name matching (grouped applyInPandas).
@@ -235,15 +236,24 @@ def enrich_affiliations(
     Inputs: (key, name, affiliation) rows for winner and loser versions.
     Output: winner rows with affiliations enriched where a loser name matched
     at score >= 0.6; merge skipped entirely if mean match < 0.5.
+
+    ``pos_col`` names an author-position column: each side is sorted by it
+    before matching, making the in-group row order — and therefore any
+    tie-break the assignment takes between equal-weight matchings — fully
+    deterministic regardless of shuffle arrival order (an author list is an
+    ordered entity; without a position the arrival order decides ties).
     """
-    w = winners.selectExpr(key, "name", "affiliation").withColumn("_side", F.lit("w"))
-    l_ = losers.selectExpr(key, "name", "affiliation").withColumn("_side", F.lit("l"))
+    cols = [key, "name", "affiliation"] + ([pos_col] if pos_col else [])
+    w = winners.selectExpr(*cols).withColumn("_side", F.lit("w"))
+    l_ = losers.selectExpr(*cols).withColumn("_side", F.lit("l"))
     both = w.unionByName(l_)
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pos_col:
+            pdf = pdf.sort_values(pos_col, kind="stable")
         wrows = pdf[pdf["_side"] == "w"].reset_index(drop=True)
         lrows = pdf[pdf["_side"] == "l"].reset_index(drop=True)
-        url = pdf["url"].iloc[0]
+        url = pdf[key].iloc[0]
         if wrows.empty:
             return pd.DataFrame(columns=["url", "name", "affiliation", "match_score"])
         out = wrows[["name", "affiliation"]].copy()
@@ -270,6 +280,7 @@ def author_merge(
     key: str = "url",
     origin_col: str = "origin",
     modtime_col: str = "modtime",
+    pos_col: str | None = None,
 ) -> DataFrame:
     """A10 authorMerger (merger.py:133-153) end-to-end: the origin-trust fold
     picks the winning author LIST per key, then winners' missing
@@ -303,10 +314,7 @@ def author_merge(
         )
     )
     tagged = blocks.join(winner_block, key)
-    winners = tagged.filter(F.col(origin_col) == F.col("_worigin")).select(
-        key, "name", "affiliation"
-    )
-    losers = tagged.filter(F.col(origin_col) != F.col("_worigin")).select(
-        key, "name", "affiliation"
-    )
-    return enrich_affiliations(winners, losers, key=key)
+    side_cols = [key, "name", "affiliation"] + ([pos_col] if pos_col else [])
+    winners = tagged.filter(F.col(origin_col) == F.col("_worigin")).select(*side_cols)
+    losers = tagged.filter(F.col(origin_col) != F.col("_worigin")).select(*side_cols)
+    return enrich_affiliations(winners, losers, key=key, pos_col=pos_col)

@@ -142,6 +142,45 @@ def centroid_scores(
     return F.array(*scores)
 
 
+def fit_ivf_centroids(
+    vecs,
+    n_lists: int = 8,
+    n_iter: int = 3,
+    seed: int = 13,
+) -> list[list[float]]:
+    """Deterministic seeded spherical-k-means (Lloyd's) fit of IVF centroids.
+
+    ``vecs`` is an (n, dim) array-like of the corpus (or a sample — k-means
+    on a uniform sample is the standard offline IVF fit; reference precedent
+    for fit-then-use: author_match.py:344-350).  Init is a seeded choice of
+    ``n_lists`` distinct rows; each iteration assigns by max cosine and
+    recenters on the member mean.  Everything is numpy float64 with a fixed
+    seed and iteration count, so the result is reproducible bit-for-bit —
+    the centroid literals can be inlined into BOTH the Spark plan and the
+    SQL oracle twin (the plane_weight pattern).
+
+    At 10^10 vectors the fit runs on a driver-sized sample (n_lists is
+    thousands, the sample millions); the expensive part — assignment of the
+    full corpus — stays in the Spark plan as codegen'd expressions."""
+    import numpy as np
+
+    v = np.asarray(vecs, dtype=np.float64)
+    n = len(v)
+    rng = np.random.RandomState(seed)
+    cent = v[rng.choice(n, size=min(n_lists, n), replace=False)].copy()
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    vn = v / np.where(norms == 0, 1.0, norms)
+    for _ in range(n_iter):
+        cnorm = np.linalg.norm(cent, axis=1, keepdims=True)
+        cn = cent / np.where(cnorm == 0, 1.0, cnorm)
+        assign = np.argmax(vn @ cn.T, axis=1)
+        for c in range(len(cent)):
+            members = v[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in cent]
+
+
 def ivf_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -283,46 +283,55 @@ def apply_batch(
         #    lands in a *different* micro-batch than its original does not
         #    append a second (url, ts, offset) row — the audit log stays a
         #    distinct set, matching replay_oracle's semantics exactly.
-        tomb_appends = (
-            batch_df.filter(F.col("op") == OP_DELETE)
-            .select(
-                F.col(key).alias("url"),
-                F.col("warc_ts").alias("deleted_ts"),
-                F.lit("deleted").alias("key"),
-                F.col("log_offset"),
+        #    Passed as a THUNK: its driver-side plan construction runs in
+        #    overwrite_buckets' pool thread, overlapped with the main write.
+        def _tomb_appends() -> DataFrame:
+            t = (
+                batch_df.filter(F.col("op") == OP_DELETE)
+                .select(
+                    F.col(key).alias("url"),
+                    F.col("warc_ts").alias("deleted_ts"),
+                    F.lit("deleted").alias("key"),
+                    F.col("log_offset"),
+                )
+                .distinct()
             )
-            .distinct()
-        )
-        if has_tombs:
-            tomb_appends = tomb_appends.join(
-                table.read_tombstones(TOMBSTONE_SCHEMA).select("url", "deleted_ts", "log_offset"),
-                ["url", "deleted_ts", "log_offset"],
-                "left_anti",
-            )
+            if has_tombs:
+                t = t.join(
+                    table.read_tombstones(TOMBSTONE_SCHEMA).select(
+                        "url", "deleted_ts", "log_offset"
+                    ),
+                    ["url", "deleted_ts", "log_offset"],
+                    "left_anti",
+                )
+            return t
 
         # lineage: per-source-partition offset range + row counts
-        # (north_rule).  A pure transformation — no driver collect; its
-        # write runs as a concurrent Spark job alongside the data write
-        # inside overwrite_buckets.
+        # (north_rule).  A pure transformation — no driver collect; plan
+        # built in the pool thread, write runs as a concurrent Spark job
+        # alongside the data write inside overwrite_buckets.  The reported
+        # merge latency is captured HERE (plan time), not at thunk call.
         latency_ms = (time.time() - t0) * 1000.0
-        lineage_df = (
-            batch_df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.min("log_offset").alias("offset_start"),
-                F.max("log_offset").alias("offset_end"),
-                F.count(F.lit(1)).alias("rows_applied"),
+
+        def _lineage_df() -> DataFrame:
+            ldf = (
+                batch_df.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.min("log_offset").alias("offset_start"),
+                    F.max("log_offset").alias("offset_end"),
+                    F.count(F.lit(1)).alias("rows_applied"),
+                )
+                .select(
+                    F.lit(int(batch_id)).alias("batch_id"),
+                    "partition_id",
+                    "offset_start",
+                    "offset_end",
+                    "rows_applied",
+                    F.lit(float(latency_ms)).alias("merge_latency_ms"),
+                    F.lit(int(batch_id)).alias("commit_epoch"),
+                )
             )
-            .select(
-                F.lit(int(batch_id)).alias("batch_id"),
-                "partition_id",
-                "offset_start",
-                "offset_end",
-                "rows_applied",
-                F.lit(float(latency_ms)).alias("merge_latency_ms"),
-                F.lit(int(batch_id)).alias("commit_epoch"),
-            )
-        )
-        lineage_df = align_to_schema(lineage_df, LINEAGE_SCHEMA)
+            return align_to_schema(ldf, LINEAGE_SCHEMA)
 
         _mark("plan_build")
         version = table.overwrite_buckets(
@@ -331,8 +340,8 @@ def apply_batch(
             epoch_source=epoch_source,
             epoch=batch_id,
             new_schema=evolved,
-            tombstone_appends=tomb_appends,
-            lineage_appends=lineage_df,
+            tombstone_appends=_tomb_appends,
+            lineage_appends=_lineage_df,
             pre_partitioned=pre_partitioned,
             # revalidation parent = the snapshot THIS batch's plan read at
             # its top (bucket pruning, has_current, epochs all came from it)

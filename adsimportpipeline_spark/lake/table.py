@@ -268,8 +268,8 @@ class LakeTable:
         epoch_source: str | None = None,
         epoch: int | None = None,
         new_schema: T.StructType | None = None,
-        tombstone_appends: DataFrame | None = None,
-        lineage_appends: DataFrame | None = None,
+        tombstone_appends=None,
+        lineage_appends=None,
         pre_partitioned: bool = False,
         parent_version: int | None = None,
     ) -> int:
@@ -333,11 +333,24 @@ class LakeTable:
         jobs = [_write_main]
         results: dict[str, str] = {}
         if tombstone_appends is not None:
+            # appends may be CALLABLES like new_data: their (driver-side)
+            # plan construction then runs in the pool thread, overlapped
+            # with the main write instead of serializing before it
             jobs.append(lambda: results.__setitem__(
-                "tomb", self._write_data_dir(tombstone_appends.repartition(1), "tomb")))
+                "tomb",
+                self._write_data_dir(
+                    (tombstone_appends() if callable(tombstone_appends)
+                     else tombstone_appends).repartition(1),
+                    "tomb",
+                )))
         if lineage_appends is not None:
             jobs.append(lambda: results.__setitem__(
-                "lin", self._write_data_dir(lineage_appends.repartition(1), "lin")))
+                "lin",
+                self._write_data_dir(
+                    (lineage_appends() if callable(lineage_appends)
+                     else lineage_appends).repartition(1),
+                    "lin",
+                )))
         if len(jobs) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -347,8 +360,15 @@ class LakeTable:
         else:
             jobs[0]()
 
+        # one listdir of the commit dir instead of one per bucket: 128+
+        # buckets = 128 serial listdir calls (~100ms of commit tail)
+        by_bucket: dict[int, list[str]] = {}
+        if os.path.isdir(d):
+            for sub in os.listdir(d):
+                if sub.startswith("_bucket="):
+                    by_bucket[int(sub.split("=", 1)[1])] = self._parquet_files(d, sub)
         for b in touched_buckets:
-            files = self._parquet_files(d, f"_bucket={b}")
+            files = by_bucket.get(b, [])
             m["buckets"][str(b)] = [{"path": p, "schema_id": sid} for p in files]
         if "tomb" in results:
             m["tombstone_files"] += [

@@ -79,6 +79,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # throughput collector for a batch engine: G1's concurrent mark /
+        # refinement threads compete with the (few) worker cores and its
+        # region management costs more at this heap churn (shuffle + parquet
+        # encode).  Measured on the replay: better steady walls at every
+        # core count, ~2x better cold first-run at 4 cores, and a
+        # consistently higher N->4N scaling ratio.  Cluster deployments set
+        # the same flag via spark.executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )

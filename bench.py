@@ -7,9 +7,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>, "scaling": {...}}
 
 Scaling evidence for the north_rule's two-cluster-size criterion: the
-identical replay job runs pinned (sched_setaffinity, set before the JVM
-spawns so every JVM/python-worker thread inherits it) to N and 4N CPUs on
-the same input.  Two pair geometries are measured:
+identical replay job runs pinned (sched_setaffinity over the whole process
+tree — JVM threads and python workers — applied after an UNPINNED boot +
+warm, since JVM startup is not the measurand and a 1-core-pinned boot
+wastes ~20s/leg; GC threads are sized to the pinned core count) to N and
+4N CPUs on the same input.  Two pair geometries are measured:
 
 - **primary (N=1 -> 4N=4)**: the gate pair.  Four cores sit below this
   VM's shared-memory-bus saturation point, so the ratio reflects the
@@ -35,13 +37,18 @@ Measurement protocol (this sandbox VM shares a host: throughput drifts
   rationale), with the same run count on both legs of a pair;
 - per-pair efficiency = (thr_4N / thr_N) / 4; the headline
   ``strong_efficiency`` is the MEDIAN over primary pairs (not best-of);
-- /proc/stat steal ticks are recorded around every pair; a pair whose
-  steal exceeds 5% of its wall-clock is marked contaminated and excluded
-  from the median when at least two clean pairs remain;
+- hypervisor steal ON THE PINNED CPUS is recorded per timed leg; a pair
+  where either leg's pinned steal exceeds 5% of that leg's wall (or
+  ambient busy >15% right before the pair) is marked contaminated and
+  excluded from the median when at least two clean pairs remain
+  (machine-WIDE steal is reported as a diagnostic only — neighbors'
+  steal on unpinned cpus does not touch the measurement);
 - weak scaling (N cores on 1/4 the events vs 4N on the full input — the
   proxy for cluster scale-out where every added node brings its own
-  memory bandwidth and L3) is reported SEPARATELY, never merged into the
-  headline number.
+  memory bandwidth and L3) is measured INSIDE each pair's low child (same
+  JVM and window, JIT-hot, bucket count scaled so files-per-core match)
+  and reported SEPARATELY, never merged into the headline number; a
+  ratio outside (0.3, 1.05] is flagged invalid, not reported as a pass.
 """
 
 from __future__ import annotations
@@ -94,8 +101,11 @@ PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3"))
 WEAK_TRIALS = 1
 
 #: overall wall budget (sec): extra pairs are dropped once exceeded so the
-#: bench always emits its JSON line instead of dying to an outer timeout
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+#: bench always emits its JSON line instead of dying to an outer timeout.
+#: 520 fits two full gate pairs (weak slots embedded in their low legs),
+#: the 8-core solo headline and the complete query/recall table; rounds
+#: 1-3 all finished under their budget with rc=0, so there is headroom.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "520"))
 _START = time.time()
 
 
@@ -159,6 +169,15 @@ def _fresh_spark(cores: int, name: str):
         "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
         "spark.sql.files.openCostInBytes": str(2 * 1024 * 1024),
         "spark.ui.showConsoleProgress": "false",
+        # GC and JIT-compiler threads sized to the core budget the leg will
+        # be PINNED to — the JVM boots unpinned (see _pin_tree), so
+        # ergonomics would size both for the whole machine and 20+ GC plus
+        # ~12 C2 threads would thrash one pinned core during the first
+        # full-size run
+        "spark.driver.extraJavaOptions": (
+            f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cores, 1)} "
+            f"-XX:CICompilerCount={max(cores, 2)}"
+        ),
     }
     extra.update(json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")))
     return get_spark(
@@ -185,14 +204,54 @@ def _pinned_steal_sec(cores: int) -> float:
     return total / 100.0
 
 
-def replay_child(cores: int, log_path: str, n_events: int) -> None:
-    """Child-process entry: pin CPUs *before* the JVM exists, replay once,
-    print events/sec (raw + steal-adjusted)."""
-    try:
-        os.sched_setaffinity(0, set(range(cores)))
-    except (AttributeError, OSError):
-        pass
+def _pin_tree(cores: int) -> None:
+    """Pin EVERY thread of this process and all descendant processes (the
+    JVM, its python workers) to cpus 0..cores-1.  Called after boot+warm:
+    the JVM boots and JITs unpinned (startup is not the measurand — a
+    1-core-pinned boot wastes ~20s of budget per leg), while the timed
+    replays run fully pinned.  Threads/processes created later inherit
+    their creator's affinity, so workers spawned mid-run stay pinned."""
+    cpus = set(range(cores))
+    me = os.getpid()
+    # find descendants by one /proc scan of PPid chains
+    parents: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/status") as f:
+                for line in f:
+                    if line.startswith("PPid:"):
+                        parents[int(d)] = int(line.split()[1])
+                        break
+        except OSError:
+            continue
 
+    def _mine(pid: int) -> bool:
+        seen = 0
+        while pid > 1 and seen < 64:
+            if pid == me:
+                return True
+            pid = parents.get(pid, 0)
+            seen += 1
+        return pid == me
+
+    for pid in [p for p in parents if _mine(p)]:
+        try:
+            for tid in os.listdir(f"/proc/{pid}/task"):
+                try:
+                    os.sched_setaffinity(int(tid), cpus)
+                except (OSError, ValueError):
+                    pass
+        except OSError:
+            pass
+
+
+def replay_child(cores: int, log_path: str, n_events: int) -> None:
+    """Child-process entry: boot + warm the JVM unpinned, pin the whole
+    process tree to N cpus, replay, print events/sec (raw +
+    steal-adjusted).  GC threads are sized to the PINNED core count at
+    boot (ergonomics would size them for the unpinned machine)."""
     from pyspark.sql import functions as F
 
     from adsimportpipeline_spark.apply import apply_batch
@@ -217,8 +276,9 @@ def replay_child(cores: int, log_path: str, n_events: int) -> None:
 
     from adsimportpipeline_spark.schema import CHANGE_EVENT_SCHEMA
 
+    n_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "128"))
     warm_root = tempfile.mkdtemp(prefix=f"benchwarm{cores}-", dir=SCRATCH)
-    warm_table = LakeTable.create(spark, warm_root, PAGES_SCHEMA, n_buckets=128)
+    warm_table = LakeTable.create(spark, warm_root, PAGES_SCHEMA, n_buckets=n_buckets)
     _files = sorted(_glob.glob(os.path.join(log_path, "part-*")))
     warm_div = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_DIV", "16"))
     warm_df = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(
@@ -226,6 +286,11 @@ def replay_child(cores: int, log_path: str, n_events: int) -> None:
     )
     apply_batch(warm_table, warm_df, batch_id=0, prune_buckets=False)
     shutil.rmtree(warm_root, ignore_errors=True)
+
+    # boot + warm ran unpinned (local[cores] caps task parallelism either
+    # way); everything from here on — including python workers the warm
+    # spawned — is pinned to the leg's cpus
+    _pin_tree(cores)
 
     # STEADY-STATE measurement: the replay runs SPARK_GRAFT_BENCH_RUNS
     # times in one JVM and the MINIMUM wall is reported, every wall
@@ -242,19 +307,45 @@ def replay_child(cores: int, log_path: str, n_events: int) -> None:
     # the classic timeit rationale — applied with the same run count to
     # both legs of a pair geometry's timed comparison, all raw walls in
     # the output.
-    walls, steals = [], []
-    stats = {}
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))):
-        root = tempfile.mkdtemp(prefix=f"benchtbl{cores}-", dir=SCRATCH)
-        # n_buckets fixed across parallelism levels: identical table layout
-        # for a fair N-vs-4N comparison
-        table = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=128)
-        df = read_change_log(spark, log_path)
-        st0, t0 = _pinned_steal_sec(cores), time.time()
-        stats = apply_batch(table, df, batch_id=0, prune_buckets=False)
-        walls.append(time.time() - t0)
-        steals.append(_pinned_steal_sec(cores) - st0)
-        shutil.rmtree(root, ignore_errors=True)
+    def _timed_runs(log: str, n_runs: int, buckets: int) -> tuple[list, list, dict]:
+        walls, steals = [], []
+        stats: dict = {}
+        for _ in range(n_runs):
+            root = tempfile.mkdtemp(prefix=f"benchtbl{cores}-", dir=SCRATCH)
+            # n_buckets fixed across a STRONG pair's two levels (identical
+            # table layout on identical input); the WEAK leg scales it with
+            # problem size so files-per-core stays constant — a quarter-size
+            # job writing the full 128 bucket files pays 4x the per-event
+            # file overhead, which is layout mismatch, not scaling
+            table = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=buckets)
+            df = read_change_log(spark, log)
+            st0, t0 = _pinned_steal_sec(cores), time.time()
+            stats = apply_batch(table, df, batch_id=0, prune_buckets=False)
+            walls.append(time.time() - t0)
+            steals.append(_pinned_steal_sec(cores) - st0)
+            shutil.rmtree(root, ignore_errors=True)
+        return walls, steals, stats
+
+    walls, steals, stats = _timed_runs(
+        log_path, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")), n_buckets
+    )
+
+    # the weak-scaling denominator rides in the SAME JVM right after the
+    # strong low leg: no second boot, and the plan is fully JIT-hot from
+    # the full-size runs just finished — the quarter-size leg's walls are
+    # then pure work, not tier-up residue (standalone weak children read
+    # 1.4-1.8x inflated from exactly that residue)
+    weak_out = None
+    if os.environ.get("SPARK_GRAFT_BENCH_WEAK_LOG"):
+        w_log = os.environ["SPARK_GRAFT_BENCH_WEAK_LOG"]
+        w_events = int(os.environ["SPARK_GRAFT_BENCH_WEAK_EVENTS"])
+        w_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_WEAK_BUCKETS", "32"))
+        w_walls, _w_steals, _ = _timed_runs(w_log, 3, w_buckets)
+        weak_out = {
+            "events_per_sec": w_events / min(w_walls),
+            "walls_sec": [round(w, 2) for w in w_walls],
+        }
+
     spark.stop()
     i_best = min(range(len(walls)), key=lambda i: walls[i])
     wall, steal = walls[i_best], steals[i_best]
@@ -269,14 +360,22 @@ def replay_child(cores: int, log_path: str, n_events: int) -> None:
         "walls_sec": [round(w, 2) for w in walls],
         "steal_sec_on_pinned": round(steal, 2),
         "phases": stats.get("phases", {}),
+        "weak": weak_out,
     }))
 
 
 def _run_child(cores: int, log_path: str, n_events: int, runs: int = 2,
-               warm_div: int = 16) -> dict:
+               warm_div: int = 16, n_buckets: int = 128,
+               weak: tuple[str, int, int] | None = None) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
     env["SPARK_GRAFT_BENCH_WARM_DIV"] = str(warm_div)
+    env["SPARK_GRAFT_BENCH_BUCKETS"] = str(n_buckets)
+    env.pop("SPARK_GRAFT_BENCH_WEAK_LOG", None)
+    if weak is not None:
+        env["SPARK_GRAFT_BENCH_WEAK_LOG"] = weak[0]
+        env["SPARK_GRAFT_BENCH_WEAK_EVENTS"] = str(weak[1])
+        env["SPARK_GRAFT_BENCH_WEAK_BUCKETS"] = str(weak[2])
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--replay-child", str(cores), log_path, str(n_events)],
         capture_output=True,
@@ -418,18 +517,23 @@ def main() -> None:
     machine = _machine_character()
     _phase("machine probe done")
 
-    def _measure_pair(hi: int, lo: int, log: str, n_ev: int, lo_runs: int = 2) -> dict:
+    def _measure_pair(hi: int, lo: int, log: str, n_ev: int, lo_runs: int = 2,
+                      weak: tuple[str, int, int] | None = None) -> dict:
         # lo_runs stays 2 everywhere: early measurements suggested the
         # 1-core leg had no warmup gap, but later windows showed its run 2
         # up to 25% faster too — dropping its second run would bias the
         # ratio UP, so both legs always get the same min-of-2 treatment.
+        # ``weak``: (log, events, buckets) for a weak-scaling denominator
+        # measured inside the low child's JVM right after its strong runs —
+        # same window as the pair, no extra boot, plan fully JIT-hot.
         busy0, s0, t0 = _external_busy_frac(), _steal_ticks(), time.time()
         h = _run_child(hi, log, n_ev)
-        l_ = _run_child(lo, log, n_ev, runs=lo_runs)
+        l_ = _run_child(lo, log, n_ev, runs=lo_runs, weak=weak)
         wall, steal_sec = time.time() - t0, (_steal_ticks() - s0) / 100.0
         thr_h, thr_l = h["events_per_sec"], l_["events_per_sec"]
         adj_h, adj_l = h["events_per_sec_adjusted"], l_["events_per_sec_adjusted"]
         return {
+            "weak_low": l_.get("weak"),
             "events_per_sec_high": round(thr_h, 1),
             "events_per_sec_low": round(thr_l, 1),
             "wall_high_sec": round(h["wall_sec"], 1),
@@ -442,7 +546,18 @@ def main() -> None:
             "steal_low_sec": l_["steal_sec_on_pinned"],
             "steal_sec": round(steal_sec, 1),
             "ambient_busy_frac": round(busy0, 3),
-            "contaminated": steal_sec > 0.15 * wall or busy0 > 0.15,
+            # contamination = steal ON THE PINNED CPUS during a timed leg
+            # (>5% of that leg's wall) or visible ambient load before the
+            # pair.  Machine-WIDE steal (steal_sec) is reported as a
+            # diagnostic but does not disqualify: on a 32-vCPU box,
+            # neighbors' steal on the other 28 cpus racked up 40s in a
+            # window where the pinned cpus saw 0.15s — gating on it threw
+            # away provably clean pairs.
+            "contaminated": (
+                h["steal_sec_on_pinned"] > 0.05 * h["wall_sec"]
+                or l_["steal_sec_on_pinned"] > 0.05 * l_["wall_sec"]
+                or busy0 > 0.15
+            ),
         }
 
     # the gate number comes from the primary geometry, so CLEAN primary
@@ -453,23 +568,16 @@ def main() -> None:
     # again in a calmer window.  Reserves keep the query table landing.
     pairs: list[dict] = []
     sat_pair: dict | None = None
-    # each weak-scaling low leg runs IMMEDIATELY before its numerator
-    # pair's high leg — measured in the same host window.  A weak leg
-    # measured minutes from its numerator read 1.4-1.8x purely from window
-    # drift; a weak SLOT that is skipped contributes nothing (never
-    # reconstructed cross-window).  Each slot runs THREE identical replays
-    # (min taken): the quarter-size leg is the one measurement where fixed
-    # JVM/JIT residue is a large fraction of the wall, and two runs were
-    # measured to leave enough residue to push the ratio superlinear.
-    # warm_div=2: on a quarter-size log the standard 1/16 warm subset is
-    # too small to JIT the plan, leaving ~4s of tier-up inside even the
-    # second run — measured as a 1.5x-inflated weak ratio
-    weak_lows: list[float] = []  # index-aligned with pairs (numerators)
-    weak_lows.append(
-        _run_child(N_LOW, small_log_path, n_small, runs=3, warm_div=2)["events_per_sec"]
+    # the weak-scaling denominator rides INSIDE each pair's low child
+    # (same JVM, right after the strong runs): no extra boot, same host
+    # window as its numerator, and the plan is fully JIT-hot — a
+    # standalone weak child read 1.4-1.8x inflated from boot/tier-up
+    # residue that a quarter-size log cannot amortize.  Three runs, min
+    # taken; bucket count scaled to problem size (files-per-core parity).
+    weak_spec = (small_log_path, n_small, max(128 // ratio, 1))
+    pairs.append(
+        _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
     )
-    _phase("weak leg 1 done")
-    pairs.append(_measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS))
     _phase(f"pair1 done eff={pairs[-1]['efficiency']}")
 
     def _clean(ps: list[dict]) -> list[dict]:
@@ -477,29 +585,30 @@ def main() -> None:
 
     # spend order (reserves = cost of everything still to come, so the
     # complete query/recall table and the final JSON line always land):
-    # the 8-core headline solo leg -> weak slot 2 + gate pair 2 -> gate
-    # pair 3 (a 2-pair median is a mean; 3 pairs give a true median) ->
-    # retry pairs while none is clean -> the full saturated 2->8 pair only
-    # on surplus (its ratio is a diagnostic; the solo leg is what the
-    # round-over-round throughput comparison needs)
+    # the 8-core headline solo leg -> gate pair 2 -> gate pair 3 (a 2-pair
+    # median is a mean; 3 pairs give a true median) -> retry pairs while
+    # none is clean -> the full saturated 2->8 pair only on surplus (its
+    # ratio is a diagnostic; the solo leg is what the round-over-round
+    # throughput comparison needs)
     sat_high_solo: dict | None = None
-    if not _over_budget(reserve=120):
+    if not _over_budget(reserve=240):
         sat_high_solo = _run_child(SAT_HIGH, log_path, N_EVENTS)
         _phase("sat solo done")
-    if not _over_budget(reserve=240):
-        weak_lows.append(
-            _run_child(N_LOW, small_log_path, n_small, runs=3, warm_div=2)["events_per_sec"]
+    if not _over_budget(reserve=160):
+        pairs.append(
+            _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
         )
-        _phase("weak leg 2 done")
-    if not _over_budget(reserve=200):
-        pairs.append(_measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS))
         _phase(f"pair2 done eff={pairs[-1]['efficiency']}")
-    if not _over_budget(reserve=200):
-        pairs.append(_measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS))
+    if not _over_budget(reserve=160):
+        pairs.append(
+            _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
+        )
         _phase(f"pair3 done eff={pairs[-1]['efficiency']}")
-    while not _clean(pairs) and len(pairs) < PAIRS + 2 and not _over_budget(reserve=180):
-        pairs.append(_measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS))
-    if not _over_budget(reserve=320):
+    while not _clean(pairs) and len(pairs) < PAIRS + 2 and not _over_budget(reserve=160):
+        pairs.append(
+            _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
+        )
+    if not _over_budget(reserve=300):
         sat_pair = _measure_pair(SAT_HIGH, SAT_LOW, log_path, N_EVENTS)
         _phase(f"sat done eff={sat_pair['efficiency']}")
 
@@ -591,16 +700,19 @@ def main() -> None:
     thr_high_med = statistics.median(p["events_per_sec_high"] for p in basis)
     thr_low_med = statistics.median(p["events_per_sec_low"] for p in basis)
 
-    # weak efficiency per slot = that slot's ADJACENT pair's high leg over
-    # the weak low leg measured right before it; median over slots.  A
+    # weak efficiency per slot = a pair's high leg over the weak low leg
+    # measured inside that same pair's low child; median over slots.  A
     # ratio outside (0.3, 1.05] is physically implausible for this job —
     # >1.05 means the small denominator leg was still overhead/JIT
     # dominated (a measurement artifact, not scaling) — so it is reported
     # as null with the raw slots alongside, never as a pass.
+    weak_lows = [
+        p["weak_low"]["events_per_sec"] for p in pairs if p.get("weak_low")
+    ]
     weak_slots = [
-        round((pairs[i]["events_per_sec_high"] / wl) / ratio, 3)
-        for i, wl in enumerate(weak_lows)
-        if i < len(pairs)
+        round((p["events_per_sec_high"] / p["weak_low"]["events_per_sec"]) / ratio, 3)
+        for p in pairs
+        if p.get("weak_low")
     ]
     weak_low_med = statistics.median(weak_lows) if weak_lows else None
     weak_eff = statistics.median(weak_slots) if weak_slots else None
@@ -684,13 +796,16 @@ def main() -> None:
             "in both, including the generator's hot-url skew: ~10% of ALL\n"
             "events hit a single url, handled by the payload-light argmax\n"
             "whose partial aggregation pre-reduces the hot key map-side;\n"
-            "identical input at both levels of every pair), process pinned by\n"
-            "sched_setaffinity to N / 4N CPUs\n"
-            "before JVM spawn.\n\n"
+            "identical input at both levels of every pair); the whole process\n"
+            "tree (JVM + python workers) is pinned to N / 4N CPUs for the timed\n"
+            "replays, after an unpinned boot+warm (startup is not the\n"
+            "measurand), with GC threads sized to the pinned core count.\n\n"
             "Protocol: interleaved (4N, N) pairs, per-pair efficiency ratio,\n"
-            "headline = MEDIAN over pairs; pairs with hypervisor steal > 5% of\n"
-            "their wall-clock, or ambient (non-self) CPU busy > 15% sampled\n"
-            "just before the pair, are excluded (this VM shares a host).\n"
+            "headline = MEDIAN over pairs; a pair where either timed leg saw\n"
+            "hypervisor steal ON ITS PINNED CPUS above 5% of that leg's wall,\n"
+            "or ambient (non-self) CPU busy > 15% sampled just before the\n"
+            "pair, is excluded (this VM shares a host; machine-wide steal on\n"
+            "unpinned cpus is a diagnostic, not a disqualifier).\n"
             "Each leg runs two identical full replays in one JVM and the\n"
             "MIN wall is reported (first-run JIT tier-up and bursty host\n"
             "contention both only ever ADD time; a multi-hour production\n"
@@ -730,7 +845,8 @@ def main() -> None:
                 f"\n- Weak-scaling efficiency (per-core load constant, {n_small:,} events\n"
                 f"  at {N_LOW} CPUs vs {GATE_EVENTS:,} at {N_HIGH}): {weak_eff:.3f},\n"
                 f"  median over {len(weak_slots)} slot(s) {weak_slots}, each weak leg\n"
-                "  min-of-3 runs measured adjacent to its numerator pair — the\n"
+                "  min-of-3 runs inside its numerator pair's low-leg JVM (same\n"
+                "  window, fully JIT-hot, bucket count scaled to problem size) — the\n"
                 "  faithful sandbox proxy for adding executor NODES, reported\n"
                 "  separately, never merged into the headline.\n"
                 if weak_eff is not None

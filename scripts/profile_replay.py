@@ -5,6 +5,11 @@ cores with the Spark UI enabled, then dumps per-job / per-stage wall and
 task-time metrics from the UI REST API.  Compare a 1-core and a 4-core
 run to see which stage fails to scale.
 
+NOTE: unlike bench.py (which boots unpinned and pins the process tree
+only for the timed runs), this profiler pins before the JVM spawns —
+simpler, and stage-relative numbers are what matter here, not absolute
+walls.
+
 Usage:
     python scripts/profile_replay.py gen <log_path> <n_events> <n_urls>
     python scripts/profile_replay.py run <cores> <log_path> <n_events>

@@ -792,7 +792,7 @@ def main() -> None:
             f"input per geometry ({N_EVENTS:,} events / {N_URLS:,} urls for the\n"
             f"saturated headline pair; {GATE_EVENTS:,} events / {GATE_URLS:,} urls —\n"
             "same 20x duplicate factor — for the gate pairs, whose halved cost\n"
-            "fits three interleaved pairs and a window-robust median; seed 42\n"
+            "fits two interleaved pairs and a window-robust median; seed 42\n"
             "in both, including the generator's hot-url skew: ~10% of ALL\n"
             "events hit a single url, handled by the payload-light argmax\n"
             "whose partial aggregation pre-reduces the hot key map-side;\n"

@@ -13,10 +13,29 @@ import pytest
 
 from adsimportpipeline_spark.datagen import GenSpec, write_change_log
 
-SUBMIT = shutil.which("spark-submit")
+def _find_spark_submit() -> str | None:
+    """PATH first, then the launcher pyspark itself ships (pip installs
+    carry bin/spark-submit inside the package, not on PATH)."""
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    try:
+        import os
+
+        import pyspark
+
+        cand = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+        if os.access(cand, os.X_OK):
+            return cand
+    except Exception:
+        pass
+    return None
 
 
-@pytest.mark.skipif(SUBMIT is None, reason="spark-submit not on PATH")
+SUBMIT = _find_spark_submit()
+
+
+@pytest.mark.skipif(SUBMIT is None, reason="no spark-submit on PATH or in pyspark")
 def test_spark_submit_py_files_replay(spark, tmp_path):
     sys.path.insert(0, "/root/repo")
     from scripts.package import build

@@ -28,14 +28,13 @@ import time
 from collections.abc import Iterator
 from datetime import datetime, timezone
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from .evolve import align_to_schema, reconcile_schema
-from .functions.html import _extract_series, html_to_text
+from .functions.html import html_to_text
 from .lake.table import LakeTable, bucket_expr
 from .operators.cdc import tombstone_guard
 from .operators.lww import lww_dedup, lww_dedup_salted, lww_dedup_semi, lww_winner_rows
@@ -98,7 +97,6 @@ def _bulk_upserts(
         n_parts, F.col("_bucket")
     )
 
-    in_cols = [f.name for f in tagged.schema.fields if f.name != "_bucket"]
     out_fields = []
     for f in tagged.schema.fields:
         if f.name == "_bucket":
@@ -109,16 +107,38 @@ def _bulk_upserts(
     out_schema = T.StructType(out_fields)
     out_cols = [f.name for f in out_fields]
 
-    def _collapse_and_extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen: set = set()  # urls of THIS partition only (one bucket group)
-        for pdf in it:
-            fresh = pdf.loc[(~pdf[key].duplicated()) & (~pdf[key].isin(seen)), in_cols]
-            if len(fresh):
-                seen.update(fresh[key].tolist())
-                fresh = fresh.assign(text=_extract_series(fresh["html"]))
-                yield fresh[out_cols]
+    def _collapse_and_extract(it: "Iterator") -> "Iterator":
+        # mapInArrow, not mapInPandas: the row payload (html binary, text)
+        # stays in Arrow buffers end-to-end — a pandas pass materialized
+        # every html as a Python bytes object and every text as a Python
+        # str TWICE (in and out), the dominant python-side cost of this
+        # stage.  Only the ~30-byte urls are materialized, for the
+        # cross-batch duplicate collapse.
+        import pyarrow as pa
 
-    final = tagged.mapInPandas(_collapse_and_extract, out_schema)
+        from .functions.html import extract_text_arrow
+
+        seen: set = set()  # urls of THIS partition only (one bucket group)
+        for batch in it:
+            urls = batch.column(batch.schema.get_field_index(key)).to_pylist()
+            mask = []
+            for u in urls:
+                if u in seen:
+                    mask.append(False)
+                else:
+                    seen.add(u)
+                    mask.append(True)
+            fresh = batch.filter(pa.array(mask, type=pa.bool_()))
+            if fresh.num_rows == 0:
+                continue
+            cols = {name: fresh.column(fresh.schema.get_field_index(name))
+                    for name in fresh.schema.names}
+            cols["text"] = extract_text_arrow(cols["html"])
+            yield pa.RecordBatch.from_arrays(
+                [cols[name] for name in out_cols], names=out_cols
+            )
+
+    final = tagged.mapInArrow(_collapse_and_extract, out_schema)
     return align_to_schema(final, target_schema)
 
 

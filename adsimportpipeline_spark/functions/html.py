@@ -103,25 +103,37 @@ def extract_text_str(html: bytes | None) -> str | None:
     return s.strip(_TRIM_CHARS)
 
 
-def _decode_utf8(html: pd.Series) -> pa.Array:
+def _decode_utf8_arrow(arr: pa.Array) -> pa.Array:
     """binary -> utf8 Arrow array; errors=replace via pandas fallback only
     when the batch actually contains invalid UTF-8 (never on the hot path)."""
-    arr = pa.Array.from_pandas(html, type=pa.binary())
     try:
         return arr.cast(pa.string())
     except pa.ArrowInvalid:
-        return pa.Array.from_pandas(html.str.decode("utf-8", errors="replace"))
+        s = arr.to_pandas().str.decode("utf-8", errors="replace")
+        return pa.Array.from_pandas(s)
+
+
+def _decode_utf8(html: pd.Series) -> pa.Array:
+    return _decode_utf8_arrow(pa.Array.from_pandas(html, type=pa.binary()))
+
+
+def extract_text_arrow(arr: pa.Array) -> pa.Array:
+    """Engine hot path, Arrow-in/Arrow-out: the whole chain runs as Arrow
+    C++ kernels with NO pandas object materialization — the mapInArrow
+    apply path feeds binary arrays straight through (html bytes never
+    become Python objects; measured as the dominant python-side cost of
+    the extract stage when they did)."""
+    s = _decode_utf8_arrow(arr)
+    for pat, repl in _RE_PATTERNS:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    return pc.utf8_trim(s, characters=_TRIM_CHARS)
 
 
 def _extract_series(html: pd.Series) -> pd.Series:
-    """Engine hot path: the whole chain runs as Arrow C++ kernels; pandas
-    only at the Series boundaries (the pandas ``.str.replace`` chain loops
-    Python ``pat.sub`` per element — measured 2x slower on real batches)."""
-    s = _decode_utf8(html)
-    for pat, repl in _RE_PATTERNS:
-        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
-    s = pc.utf8_trim(s, characters=_TRIM_CHARS)
-    out = s.to_pandas()
+    """pandas-Series boundary over :func:`extract_text_arrow` (the pandas
+    ``.str.replace`` chain loops Python ``pat.sub`` per element — measured
+    2x slower on real batches)."""
+    out = extract_text_arrow(pa.Array.from_pandas(html, type=pa.binary())).to_pandas()
     out.index = html.index
     return out
 

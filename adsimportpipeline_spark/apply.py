@@ -69,7 +69,7 @@ def _bulk_upserts(
     Arrow round-trip for extraction.  But bucket = f(url), so one shuffle
     keyed by bucket already co-locates every url's duplicate deliveries in
     one partition — the collapse becomes a vectorized in-partition
-    ``drop_duplicates`` fused into the same ``mapInPandas`` pass that
+    ``drop_duplicates`` fused into the same ``mapInArrow`` pass that
     extracts text.  Net: half the payload shuffle bytes, one Arrow hop.
 
     Correct only when exact duplicates are the ONLY multiplicity left, i.e.

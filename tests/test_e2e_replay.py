@@ -60,6 +60,39 @@ def test_single_batch_replay(spark, tmp_path, events_and_oracle):
     assert table.current_version() == v
 
 
+def test_backfill_racing_stream_conflicts_cleanly(spark, tmp_path, events_and_oracle):
+    """A backfill writer whose plan was built against a snapshot the stream
+    has since advanced past must get CommitConflictError from its
+    apply_batch commit — not silently revert the stream's batch.  After
+    re-planning (a fresh apply_batch call reads the current snapshot) the
+    backfill applies and the final state matches the oracle."""
+    from adsimportpipeline_spark.lake.table import CommitConflictError
+
+    df, _, pages, tombs = events_and_oracle
+    half = df.filter("log_offset % 2 = 0")
+    rest = df.filter("log_offset % 2 = 1")
+    root = str(tmp_path / "race")
+    stream = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=16)
+    apply_batch(stream, half, batch_id=0)
+
+    backfill = LakeTable.load(spark, root)
+    stale_parent = backfill.current_version()
+    # the stream commits again while the backfill is (conceptually) planning
+    apply_batch(stream, rest, batch_id=1)
+    with pytest.raises(CommitConflictError):
+        # simulate the stale plan by forcing the parent the backfill read
+        backfill.overwrite_buckets(
+            backfill.read(version=stale_parent).limit(0),
+            list(range(16)),
+            parent_version=stale_parent,
+        )
+    # re-plan against the current snapshot: a fresh apply_batch succeeds
+    # (different epoch source so the epoch gate doesn't skip it)
+    stats = apply_batch(backfill, rest, batch_id=0, epoch_source="backfill")
+    assert not stats["skipped"]
+    _assert_state_matches(backfill, pages, tombs)
+
+
 def test_multi_batch_replay_matches_oracle(spark, tmp_path, events_and_oracle):
     """Split the log by delivery order into 5 sequential batches: the final
     state must equal the single global LWW (batch boundaries invisible)."""

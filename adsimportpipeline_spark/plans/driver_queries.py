@@ -1016,10 +1016,63 @@ _MINHASH_PAIRS_SQL = (
 ).replace("LSHCAP", str(LSH_BUCKET_CAP))
 
 
+#: audit-row bucket cap, deliberately TIGHT (10) so the dropped flag is
+#: exercised on the test corpus — the production pair join uses
+#: LSH_BUCKET_CAP; the audit's whole point is showing what a cap would cut
+LSH_AUDIT_CAP = 10
+
+
+def q_lsh_bucket_audit(spark, sf_dir):
+    """The hot-bucket cap's audit surface (lsh_bucket_stats): every LSH band
+    bucket with its member count and whether a cap of LSH_AUDIT_CAP would
+    drop it — caps are never silent; this is the row an operator reads to
+    see exactly which boilerplate buckets the pair join skipped."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        dedup.word_shingles(docs, "doc_id", "text", n=3), "doc_id", k=8
+    )
+    return dedup.lsh_bucket_stats(
+        sigs, "doc_id", k=8, band_size=2, bucket_cap=LSH_AUDIT_CAP
+    )
+
+
+_LSH_AUDIT_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + ", sigs AS (SELECT doc_id, "
+    + ", ".join(_mh_sql(i) for i in range(8))
+    + " FROM shingles GROUP BY doc_id), "
+    + "bands AS (SELECT doc_id, "
+    + ", ".join(_band_sql(b) for b in range(4))
+    + " FROM sigs), "
+    + "stacked AS (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bucket FROM bands) "
+    + "SELECT bucket, count(*)::BIGINT AS members, "
+    + f"count(*) > {LSH_AUDIT_CAP} AS dropped FROM stacked GROUP BY bucket"
+)
+
+
 def q_doc_simhash(spark, sf_dir):
     """16-bit SimHash per document (distinct-token bit-majority vote)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text", bits=16)
+
+
+def q_doc_simhash_groups(spark, sf_dir):
+    """Exact-signature SimHash collision groups (near-dup buckets): one row
+    per signature shared by >1 document, members joined to a stable string
+    (the cross-engine array normalization used by doc_fingerprint_groups)."""
+    docs = _t(spark, sf_dir, "documents")
+    g = dedup.simhash_duplicate_groups(docs, "doc_id", "text", bits=16)
+    return g.select(
+        "simhash",
+        "n_docs",
+        F.array_join(
+            F.transform(F.col("doc_ids"), lambda x: x.cast("string")), ","
+        ).alias("doc_ids"),
+    )
+
+
+# (_SIMHASH_GROUPS_SQL is defined below _simhash_sql, which it derives from)
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -1034,6 +1087,14 @@ WITH toks AS (
 h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
 votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
 SELECT doc_id, ({sig})::BIGINT AS simhash FROM votes
+"""
+
+
+_SIMHASH_GROUPS_SQL = f"""
+WITH sig AS ({_simhash_sql(16)})
+SELECT simhash, count(*)::BIGINT AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM sig GROUP BY simhash HAVING count(*) > 1
 """
 
 
@@ -1801,7 +1862,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_minhash_sigs": q_doc_minhash_sigs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash": q_doc_simhash,
+    "doc_simhash_groups": q_doc_simhash_groups,
     "doc_simhash_pairs": q_doc_simhash_pairs,
+    "lsh_bucket_audit": q_lsh_bucket_audit,
     "doc_lang_id": q_doc_lang_id,
     "doc_quality": q_doc_quality,
     "doc_token_count": q_doc_token_count,
@@ -1855,7 +1918,9 @@ ORACLES: dict[str, str] = {
     "doc_minhash_sigs": _MINHASH_SIGS_SQL,
     "doc_minhash_pairs": _MINHASH_PAIRS_SQL,
     "doc_simhash": _simhash_sql(16),
+    "doc_simhash_groups": _SIMHASH_GROUPS_SQL,
     "doc_simhash_pairs": _SIMHASH_PAIRS_SQL,
+    "lsh_bucket_audit": _LSH_AUDIT_SQL,
     "doc_lang_id": _LANG_SQL,
     "doc_quality": _QUALITY_SQL,
     "doc_token_count": _TOKENS_SQL,

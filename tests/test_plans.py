@@ -113,6 +113,22 @@ def test_winner_rows_metadata_gate_plans_broadcast(spark, sf_dir):
             )
 
 
+def test_minhash_pipeline_reuses_shingle_exchange(spark, sf_dir):
+    """minhash_dedup_pairs deliberately does NOT persist the shingle frame
+    (a long-lived session must never leak pinned storage); instead the
+    shingle distinct's exchange must be REUSED across its consumers
+    (signatures, the pair verify's two join sides, the size counts).  If
+    this regresses, the pipeline recomputes the shingle explode+distinct
+    per consumer."""
+    from adsimportpipeline_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.05)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = _plan(df)
+    assert "ReusedExchange" in plan
+
+
 def test_metadata_bound_rejects_non_scan_shapes(spark, sf_dir):
     """The footer row bound is only valid for a single-relation scan with
     Project/Filter on top: a join multiplies rows and a self-union dedupes

@@ -102,10 +102,12 @@ WEAK_TRIALS = 1
 
 #: overall wall budget (sec): extra pairs are dropped once exceeded so the
 #: bench always emits its JSON line instead of dying to an outer timeout.
-#: 520 fits two full gate pairs (weak slots embedded in their low legs),
-#: the 8-core solo headline and the complete query/recall table; rounds
-#: 1-3 all finished under their budget with rc=0, so there is headroom.
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "520"))
+#: 480 fits two full gate pairs (weak slots embedded in their low legs),
+#: the 8-core solo headline and the query/recall table in typical
+#: windows; in a contended window the per-query reserve sheds tail
+#: queries rather than risking an unknown outer timeout killing the run
+#: before the JSON line lands.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
 _START = time.time()
 
 
@@ -422,7 +424,10 @@ def _machine_character() -> dict:
         arr = np.random.RandomState(0).rand(12_500_000)  # 100MB
         alu_solo = min(_alu_once() for _ in range(2))
         mem_solo = min(_mem_once(arr) for _ in range(2))
-        stop_at = time.time() + 6
+        # 3.5s stress window (was 6): two min-of-2 probes fit inside it
+        # after the 1s ramp — the probe is diagnostic color, and every
+        # second here is budget the gate pairs and query table need
+        stop_at = time.time() + 3.5
         procs = []
         for c in range(1, SAT_HIGH):
             p = mp.Process(target=_spin_mem, args=(stop_at,))
@@ -432,7 +437,7 @@ def _machine_character() -> dict:
             except OSError:
                 pass
             procs.append(p)
-        time.sleep(1.5)
+        time.sleep(1.0)
         alu_busy = min(_alu_once() for _ in range(2))
         mem_busy = min(_mem_once(arr) for _ in range(2))
         for p in procs:
@@ -552,11 +557,16 @@ def main() -> None:
             # diagnostic but does not disqualify: on a 32-vCPU box,
             # neighbors' steal on the other 28 cpus racked up 40s in a
             # window where the pinned cpus saw 0.15s — gating on it threw
-            # away provably clean pairs.
+            # away provably clean pairs.  A ratio ABOVE 1.05 is physically
+            # implausible for this job (the 1-core leg must have been
+            # slowed by contention the steal counters missed) and is
+            # excluded the same way — only high outliers are dropped, so
+            # the exclusion can only bias the median DOWN, never up.
             "contaminated": (
                 h["steal_sec_on_pinned"] > 0.05 * h["wall_sec"]
                 or l_["steal_sec_on_pinned"] > 0.05 * l_["wall_sec"]
                 or busy0 > 0.15
+                or (thr_h / thr_l) / ratio > 1.05
             ),
         }
 
@@ -591,7 +601,11 @@ def main() -> None:
     # ratio is a diagnostic; the solo leg is what the round-over-round
     # throughput comparison needs)
     sat_high_solo: dict | None = None
-    if not _over_budget(reserve=240):
+    # the 8-core solo is the round-comparable headline, but in a slow
+    # window it must yield to pair2 + the complete query table: run it
+    # only while the schedule is healthy (time so far tracks a typical
+    # pair1) AND the reserve holds
+    if time.time() - _START < 215 and not _over_budget(reserve=240):
         sat_high_solo = _run_child(SAT_HIGH, log_path, N_EVENTS)
         _phase("sat solo done")
     if not _over_budget(reserve=160):
@@ -634,13 +648,11 @@ def main() -> None:
     #: the plans measured to pay a 3x+ cold-codegen penalty; warming only
     #: these keeps the warm pass ~12s instead of ~25s
     warm_list = ["cdc_final_state", "cdc_apply_replay", "record_merge",
-                 "doc_minhash_pairs", "lsh_ann_topk", "ivf_ann_topk",
-                 # r3 flagged these two as regressed (+26-36% vs r2); both
-                 # were unwarmed then — warm them so the re-measure isolates
-                 # real regressions from cold-codegen noise
-                 "origin_trust_merge", "pricing_summary"]
+                 "doc_minhash_pairs", "lsh_ann_topk", "ivf_ann_topk"]
     for name in warm_list:
-        if name not in QUERIES or _over_budget(reserve=60):
+        # reserve covers the TIMED pass: warming is a timing nicety, a
+        # missing timed row is a hole in the table — warms yield first
+        if name not in QUERIES or _over_budget(reserve=90):
             continue
         try:
             QUERIES[name](spark, warm_sf).write.format("noop").mode("overwrite").save()

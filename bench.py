@@ -631,6 +631,10 @@ def main() -> None:
 
     from adsimportpipeline_spark.functions.html import html_to_text
     from adsimportpipeline_spark.plans.driver_queries import QUERIES
+    from adsimportpipeline_spark.plans.driver_queries import (
+        IVF_LISTS as _IVF_LISTS,
+        IVF_PROBE as _IVF_PROBE,
+    )
 
     _phase("pairs done, starting queries")
     spark = _fresh_spark(CPUS, "bench-queries")
@@ -879,9 +883,9 @@ def main() -> None:
             "  pair is measured at 1 -> 4 cores, below the saturation knee.\n"
             + (f"- LSH-ANN recall@5 vs exact brute-force top-k: {recall}\n" if recall is not None else "")
             + (
-                f"- IVF-ANN recall@5 vs brute (probing 2 of 8 cells = 25% of\n"
-                f"  the corpus; 2.4x over random probing on these unclustered\n"
-                f"  synthetic embeddings): {ivf_recall}\n"
+                f"- IVF-ANN recall@5 vs brute (probing {_IVF_PROBE} of {_IVF_LISTS}\n"
+                f"  sqrt(n)-sized cells = a 25% scan fraction; ~3x over random\n"
+                f"  probing on these unclustered synthetic embeddings): {ivf_recall}\n"
                 if ivf_recall is not None
                 else ""
             )

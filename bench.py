@@ -149,12 +149,15 @@ HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
     "semi_join_lookup",
+    # embedding_near_dups_lsh sits BEFORE the expensive tail: its rows feed
+    # the near-dup pair-recall section, so a budget squeeze must drop the
+    # heavy minhash/ann queries first, not the recall input
+    "embedding_near_dups_lsh",
     "doc_minhash_pairs",
     "doc_simhash",
     "ann_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
-    "embedding_near_dups_lsh",
 ]
 
 
@@ -656,7 +659,11 @@ def main() -> None:
     for name in warm_list:
         # reserve covers the TIMED pass: warming is a timing nicety, a
         # missing timed row is a hole in the table — warms yield first
-        if name not in QUERIES or _over_budget(reserve=90):
+        # reserve=45 not 90: the warm list costs ~12s total and a timed
+        # pass WITHOUT it reads 3x+ on the cold plans (measured 9.5s for
+        # cdc_final_state in a squeezed window vs 1.3-1.7s warmed) — a few
+        # sane rows beat many cold-garbage ones
+        if name not in QUERIES or _over_budget(reserve=45):
             continue
         try:
             QUERIES[name](spark, warm_sf).write.format("noop").mode("overwrite").save()

@@ -84,7 +84,13 @@ def hyperplane_expr(vec_col: str, plane: int, dim: int) -> Column:
     limit and silently drops the WHOLE stage to interpreted evaluation
     (measured 6x slower end-to-end).  The HOF fold keeps generated code
     O(1) in dim while evaluating the same left-associated sum."""
-    w = F.array(*[F.lit(plane_weight(plane, d)) for d in range(dim)])
+    # ONE py4j call for the whole weight vector (not 64): F.lit on a 1-D
+    # numpy array ships the doubles in a single invocation, whereas a
+    # python list (and F.array of F.lits) makes a py4j round trip per
+    # element — plan build time is py4j-bound at 12+ planes x 2 join sides
+    import numpy as np
+
+    w = F.lit(np.asarray([plane_weight(plane, d) for d in range(dim)], dtype=np.float64))
     prods = F.zip_with(
         F.slice(F.col(vec_col), 1, dim), w, lambda x, wd: x.cast("double") * wd
     )

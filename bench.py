@@ -675,6 +675,10 @@ def main() -> None:
                   "embedding_near_dups_lsh"}
     stash: dict[str, list] = {}
     timings: dict[str, float] = {}
+    # stamp the query window with the same contention diagnostics the gate
+    # pairs carry: a 2x-slow table in a noisy window must be readable AS a
+    # noisy window, not as an engine regression
+    q_busy0, q_steal0, q_t0 = _external_busy_frac(), _steal_ticks(), time.time()
     for name in HEADLINE:
         if name not in QUERIES:
             continue
@@ -779,6 +783,11 @@ def main() -> None:
         "lsh_ann_recall_at_5": recall,
         "ivf_ann_recall_at_5": ivf_recall,
         "near_dup_pair_recall": pair_recall,
+        "query_window": {
+            "ambient_busy_frac": round(q_busy0, 3),
+            "steal_sec": round((_steal_ticks() - q_steal0) / 100.0, 2),
+            "wall_sec": round(time.time() - q_t0, 1),
+        },
         "scaling": {
             "cores_low": N_LOW,
             "cores_high": N_HIGH,

@@ -33,6 +33,28 @@ def normalize_words(col: str = "text"):
     )
 
 
+def fan_out_narrow_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a grossly under-parallel input before
+    CPU-heavy per-document work (regex tokenize + shingle).
+
+    A small table often arrives as one parquet file = ONE scan split, which
+    serializes the tokenize stage on a single core (measured: 3.1s of a
+    3.4s minhash wall in one task at sf0.1 while 31 cores idled — the
+    shuffle that follows fans out, but the expensive work sits BELOW it).
+    At production scale the scan has thousands of splits, the 4x guard
+    fails, and this is a no-op — no extra exchange of full text ever
+    appears in a big plan."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts * 4 <= target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-equal (normalized) documents: fingerprint -> member ids.
     Returns one row per duplicated fingerprint with the sorted member list."""
@@ -59,7 +81,9 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     referenced more than once (CollapseProject only inlines single-use
     aliases).  Dedup stays relational (distinct): array_distinct here
     would be O(len^2) string comparisons per document before the explode."""
-    base = df.select(F.col(id_col), normalize_words(text_col).alias("_w"))
+    base = fan_out_narrow_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), normalize_words(text_col).alias("_w")
+    )
     idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("_w")) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(F.col("_w"), i + 1, n), " "))
     return (
@@ -225,7 +249,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     One explode + one groupBy with ``bits`` conditional sums — a single
     shuffle keyed on doc id; partial aggregation keeps big docs cheap.
     """
-    toks = df.select(
+    toks = fan_out_narrow_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.array_distinct(normalize_words(text_col))).alias("tok")
     )
     h = portable_hash(F.col("tok"))

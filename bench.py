@@ -915,7 +915,7 @@ def main() -> None:
             + (f"- LSH-ANN recall@5 vs exact brute-force top-k: {recall}\n" if recall is not None else "")
             + (
                 f"- IVF-ANN recall@5 vs brute (probing {_IVF_PROBE} of {_IVF_LISTS}\n"
-                f"  sqrt(n)-sized cells = a 25% scan fraction; ~3x over random\n"
+                f"  Lloyd's-fitted cells = a 25% scan fraction, ~3.4x over random\n"
                 f"  probing on these unclustered synthetic embeddings): {ivf_recall}\n"
                 if ivf_recall is not None
                 else ""

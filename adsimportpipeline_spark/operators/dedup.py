@@ -460,3 +460,79 @@ def lsh_bucket_offset_sql(vec_expr: str, n_planes: int, dim: int, table: int) ->
         )
         + " AS INTEGER)"
     )
+
+
+def duplicate_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every document gets
+    a ``cluster_id`` = the smallest id reachable through pairs (singletons
+    map to themselves).  This is the step that turns pairwise dedup output
+    into actionable groups — the reference's alias->canonical closure
+    (direct.py:64-96 resolves alternates to one canonical bibcode) done for
+    discovered duplicates instead of curated aliases.
+
+    Algorithm: iterative **hash-to-min label propagation with pointer
+    jumping** (the MapReduce connected-components shape — Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).  Each round
+    (1) every node takes the min label over itself and its neighbors — one
+    equi-join on the edge list plus one groupBy(min), both keyed on the id;
+    (2) labels chase one indirection (``lbl <- lbl(lbl)``) so chains
+    collapse geometrically: rounds needed are O(log diameter), not
+    O(diameter).  Labels only ever decrease, so the fixpoint ("no label
+    moved this round") is exactly "all adjacent labels equal" = component
+    minima.
+
+    Scale shape: the driver loop holds ONE scalar per round (the changed
+    count); the label frame is two narrow columns localCheckpoint'ed each
+    round — lineage stays O(1) instead of growing a join tower, and the
+    edge list is materialized once up front so the (possibly expensive)
+    pair-producing plan never re-executes.  On a multi-executor cluster
+    swap localCheckpoint for a reliable checkpoint dir; the plan shape is
+    unchanged."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("_nl"))
+        )
+        prop = labels.join(nbr_min, "u", "left").select(
+            "u", F.least(F.col("lbl"), F.coalesce(F.col("_nl"), F.col("lbl"))).alias("lbl")
+        )
+        # pointer jump: follow the label's own label one hop (path halving)
+        parent = prop.select(F.col("u").alias("lbl"), F.col("lbl").alias("_ll"))
+        jumped = (
+            prop.join(parent, "lbl", "left")
+            .select("u", F.coalesce(F.col("_ll"), F.col("lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds — "
+            "component diameter is pathological; raise max_iter"
+        )
+    return labels.select(F.col("u").alias(id_col), F.col("lbl").alias("cluster_id"))

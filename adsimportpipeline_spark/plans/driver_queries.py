@@ -992,9 +992,11 @@ def _band_sql(b: int, band_size: int = 2) -> str:
     return f"md5('{b}'||'|'||{cols}) AS band{b}"
 
 
-_MINHASH_PAIRS_SQL = (
-    "WITH "
-    + _SHINGLES_CTE
+#: the shared CTE chain up to the verified pair list — reused verbatim by
+#: the pair query's twin AND the cluster/survivor twins below, so the three
+#: oracles can never drift apart on what counts as a duplicate pair
+_MINHASH_PAIRS_CTES = (
+    _SHINGLES_CTE
     + ", sigs AS (SELECT doc_id, "
     + ", ".join(_mh_sql(i) for i in range(8))
     + " FROM shingles GROUP BY doc_id), "
@@ -1007,13 +1009,17 @@ _MINHASH_PAIRS_SQL = (
     + "LSHCAP), "
     + "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM stacked a "
     + "JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id), "
-    + "sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingles GROUP BY doc_id) "
-    + "SELECT id_a, id_b, jaccard FROM ("
+    + "sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingles GROUP BY doc_id), "
+    + "verified AS (SELECT id_a, id_b, jaccard FROM ("
     + "SELECT id_a, id_b, round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
     + "len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard "
     + "FROM pairs JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id) "
-    + "WHERE jaccard >= 0.05"
+    + "WHERE jaccard >= 0.05)"
 ).replace("LSHCAP", str(LSH_BUCKET_CAP))
+
+_MINHASH_PAIRS_SQL = (
+    "WITH " + _MINHASH_PAIRS_CTES + " SELECT id_a, id_b, jaccard FROM verified"
+)
 
 
 #: audit-row bucket cap, deliberately TIGHT (10) so the dropped flag is
@@ -1048,6 +1054,82 @@ _LSH_AUDIT_SQL = (
     + "stacked AS (SELECT doc_id, unnest([band0, band1, band2, band3]) AS bucket FROM bands) "
     + "SELECT bucket, count(*)::BIGINT AS members, "
     + f"count(*) > {LSH_AUDIT_CAP} AS dropped FROM stacked GROUP BY bucket"
+)
+
+
+def q_doc_dup_clusters(spark, sf_dir):
+    """Near-dup pair graph -> connected components: every document labeled
+    with the min doc_id reachable through verified MinHash-LSH pairs
+    (singletons label themselves).  The Spark side is the iterative
+    hash-to-min + pointer-jumping loop (operators/dedup.py
+    duplicate_clusters — O(log diameter) rounds of id-keyed shuffles); the
+    oracle is a recursive CTE transitive closure over the IDENTICAL pair
+    list, so the equivalence check covers a genuinely non-single-query
+    iterative algorithm."""
+    docs = _t(spark, sf_dir, "documents")
+    prs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, k=8, band_size=2, threshold=0.05,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
+    return dedup.duplicate_clusters(docs, prs, id_col="doc_id")
+
+
+_DUP_CLUSTER_CLOSURE_CTES = (
+    _MINHASH_PAIRS_CTES
+    + ", und AS (SELECT id_a AS u, id_b AS v FROM verified "
+    + "UNION ALL SELECT id_b, id_a FROM verified), "
+    + "reach(u, lbl) AS (SELECT doc_id, doc_id FROM documents "
+    + "UNION SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u), "
+    + "memb AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u)"
+)
+
+_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _DUP_CLUSTER_CLOSURE_CTES
+    + " SELECT doc_id, cluster_id FROM memb"
+)
+
+
+def q_doc_dedup_survivors(spark, sf_dir):
+    """Keep-one selection per duplicate cluster: the surviving document is
+    the longest (n_chars DESC, doc_id ASC tie-break) member — the policy a
+    training-data pipeline applies after clustering.  Output is one row per
+    cluster with the survivor and the member count, so `n_members > 1`
+    rows are exactly the clusters where documents get dropped."""
+    docs = _t(spark, sf_dir, "documents")
+    prs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, k=8, band_size=2, threshold=0.05,
+        bucket_cap=LSH_BUCKET_CAP,
+    )
+    memb = dedup.duplicate_clusters(docs, prs, id_col="doc_id")
+    ranked = (
+        memb.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("survivor_id"), "n_members"
+    )
+
+
+_DEDUP_SURVIVORS_SQL = (
+    "WITH RECURSIVE "
+    + _DUP_CLUSTER_CLOSURE_CTES
+    + ", ranked AS (SELECT m.cluster_id, m.doc_id, "
+    + "row_number() OVER (PARTITION BY m.cluster_id "
+    + "ORDER BY d.n_chars DESC, m.doc_id ASC) AS rn, "
+    + "count(*) OVER (PARTITION BY m.cluster_id) AS n_members "
+    + "FROM memb m JOIN documents d ON m.doc_id = d.doc_id) "
+    + "SELECT cluster_id, doc_id AS survivor_id, n_members FROM ranked WHERE rn = 1"
 )
 
 
@@ -1873,6 +1955,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint_groups": q_doc_fingerprint_groups,
     "doc_minhash_sigs": q_doc_minhash_sigs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_dup_clusters": q_doc_dup_clusters,
+    "doc_dedup_survivors": q_doc_dedup_survivors,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_groups": q_doc_simhash_groups,
     "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -1929,6 +2013,8 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint_groups": _EXACT_DUP_SQL,
     "doc_minhash_sigs": _MINHASH_SIGS_SQL,
     "doc_minhash_pairs": _MINHASH_PAIRS_SQL,
+    "doc_dup_clusters": _DUP_CLUSTERS_SQL,
+    "doc_dedup_survivors": _DEDUP_SURVIVORS_SQL,
     "doc_simhash": _simhash_sql(16),
     "doc_simhash_groups": _SIMHASH_GROUPS_SQL,
     "doc_simhash_pairs": _SIMHASH_PAIRS_SQL,

@@ -234,3 +234,44 @@ def test_embedding_near_dup_lsh_recall_vs_brute(spark, sf_dir):
     assert lsh <= brute
     assert brute  # non-trivial corpus
     assert len(lsh & brute) / len(brute) >= 0.6
+
+
+def test_duplicate_clusters_components_and_survivors(spark):
+    """Connected components over an explicit pair graph: a 4-chain (its
+    diameter exercises the pointer-jumping rounds), a 2-cycle-free pair,
+    and singletons must each resolve to the component-min label — matching
+    a pure-Python union-find oracle."""
+    from adsimportpipeline_spark.operators.dedup import duplicate_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 7]], "doc_id long")
+    # chain 1-2-3-4 (edges given in "worst" order), pair 10-11, singletons 20 and 7
+    pairs = spark.createDataFrame(
+        [(3, 4), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+
+    # union-find oracle
+    parent = {i: i for i in [1, 2, 3, 4, 10, 11, 20, 7]}
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+    for a, b in [(3, 4), (1, 2), (2, 3), (10, 11)]:
+        ra, rb = find(a), find(b)
+        parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in parent}
+
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(nodes, pairs).collect()}
+    assert got == expected
+
+
+def test_duplicate_clusters_long_chain_converges_fast(spark):
+    """A 33-node path graph (diameter 32) must converge well inside
+    max_iter thanks to pointer jumping — plain propagation would need 32
+    rounds; the default cap of 25 would fail without the jump step."""
+    from adsimportpipeline_spark.operators.dedup import duplicate_clusters
+
+    n = 33
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(nodes, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}

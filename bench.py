@@ -498,6 +498,160 @@ def datagen_child(log_path: str, small_log_path: str, n_small: int,
     spark.stop()
 
 
+#: measured wall of the complete query/recall child in typical windows
+#: (JVM boot ~12s + sf0.001 warm pass ~12s + two timed passes ~60s +
+#: brute near-dup recall ~12s); the parent reserves this much so the
+#: table always lands before surplus pairs spend the rest
+QUERY_CHILD_RESERVE = 115.0
+
+
+def _run_queries_child() -> dict:
+    """Run the headline query/recall table in a short-lived child process
+    (the parent must never host a JVM while replay children measure) and
+    return its JSON dict; a failure degrades to an empty table, never a
+    dead run."""
+    remaining = max(BUDGET_SEC - (time.time() - _START) - 15.0, 30.0)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--queries-child",
+             str(round(remaining, 1))],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+            env=dict(os.environ),
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as exc:
+        _phase(f"queries child failed: {exc!r}")
+        return {}
+
+
+def queries_child(budget_sec: float) -> None:
+    """Child entry: the full-parallelism headline query timings + the three
+    recall sections, against the child's OWN budget (the parent passes its
+    remaining seconds).  Prints one JSON line."""
+    start = time.time()
+
+    def over(reserve: float = 0.0) -> bool:
+        return time.time() - start > budget_sec - reserve
+
+    # --- headline queries at full parallelism ---------------------------
+    from pyspark.sql import functions as F
+
+    from adsimportpipeline_spark.functions.html import html_to_text
+    from adsimportpipeline_spark.plans.driver_queries import QUERIES
+    from adsimportpipeline_spark.plans.driver_queries import (
+        IVF_LISTS as _IVF_LISTS,
+        IVF_PROBE as _IVF_PROBE,
+    )
+
+    spark = _fresh_spark(CPUS, "bench-queries")
+    # steady-state timing: python workers (pandas import ~1s each) exist
+    # before the first timed query
+    spark.range(0, CPUS * 2, 1, CPUS * 2).select(
+        html_to_text(F.encode(F.lit("<p>warm</p>"), "utf-8"))
+    ).write.format("noop").mode("overwrite").save()
+    # steady-state timing 2: run every headline query once at sf0.001
+    # first — same plans, ~1/100 the data — so whole-stage-codegen classes
+    # are generated and JIT-tiered before the timed sf run (measured: the
+    # first cold execution of the apply-path plan pays ~3x; a production
+    # query service never runs a plan exactly once)
+    warm_sf = "/root/testdata/sf0.001"
+    #: the plans measured to pay a 3x+ cold-codegen penalty; warming only
+    #: these keeps the warm pass ~12s instead of ~25s
+    warm_list = ["cdc_final_state", "cdc_apply_replay", "record_merge",
+                 "doc_minhash_pairs", "lsh_ann_topk", "ivf_ann_topk"]
+    for name in warm_list:
+        # reserve covers the TIMED pass: warming is a timing nicety, a
+        # missing timed row is a hole in the table — warms yield first
+        # reserve=45 not 90: the warm list costs ~12s total and a timed
+        # pass WITHOUT it reads 3x+ on the cold plans (measured 9.5s for
+        # cdc_final_state in a squeezed window vs 1.3-1.7s warmed) — a few
+        # sane rows beat many cold-garbage ones
+        if name not in QUERIES or over(reserve=45):
+            continue
+        try:
+            QUERIES[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+    #: queries whose ROWS the recall sections need: collect during the
+    #: timed run (results are tiny) so recall costs no second execution
+    stash_list = {"ann_topk", "lsh_ann_topk", "ivf_ann_topk",
+                  "embedding_near_dups_lsh"}
+    stash: dict[str, list] = {}
+    timings: dict[str, float] = {}
+    # stamp the query window with the same contention diagnostics the gate
+    # pairs carry: a 2x-slow table in a noisy window must be readable AS a
+    # noisy window, not as an engine regression
+    q_busy0, q_steal0, q_t0 = _external_busy_frac(), _steal_ticks(), time.time()
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        if over(reserve=10):  # the JSON line must always land
+            break
+        t0 = time.time()
+        df = QUERIES[name](spark, SF_DIR)
+        if name in stash_list:
+            stash[name] = df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # Second timed pass, min per query — the same min-of-identical-runs
+    # rule the replay legs use (first-run JIT tier-up and bursty host
+    # contention only ever ADD time); budget-guarded so a slow window
+    # degrades to the single-pass table instead of losing the JSON line.
+    for name in list(timings):
+        if over(reserve=10 + 2 * timings[name]):
+            break
+        t0 = time.time()
+        df = QUERIES[name](spark, SF_DIR)
+        if name in stash_list:
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = min(timings[name], round(time.time() - t0, 3))
+
+    # --- recalls from the stashed rows (no re-execution) ----------------
+    recall = ivf_recall = pair_recall = None
+    try:
+        exact = {(r["query_id"], r["vec_id"]) for r in stash["ann_topk"]}
+        approx = {(r["query_id"], r["vec_id"]) for r in stash["lsh_ann_topk"]}
+        recall = round(len(exact & approx) / max(len(exact), 1), 3)
+        ivf = {(r["query_id"], r["vec_id"]) for r in stash["ivf_ann_topk"]}
+        ivf_recall = round(len(exact & ivf) / max(len(exact), 1), 3)
+    except Exception:
+        pass
+    # bucketed near-dup pair recall needs the brute O(n^2) baseline, the
+    # one recall input not in the headline table — budget-gated
+    try:
+        if over(reserve=25):
+            raise TimeoutError
+        brute_pairs = {
+            (r["id_a"], r["id_b"])
+            for r in QUERIES["embedding_near_dups"](spark, SF_DIR).collect()
+        }
+        lsh_pairs = {(r["id_a"], r["id_b"]) for r in stash["embedding_near_dups_lsh"]}
+        pair_recall = round(len(brute_pairs & lsh_pairs) / max(len(brute_pairs), 1), 3)
+    except Exception:
+        pass
+    spark.stop()
+
+
+    print(json.dumps({
+        "timings": timings,
+        "lsh_ann_recall_at_5": recall,
+        "ivf_ann_recall_at_5": ivf_recall,
+        "near_dup_pair_recall": pair_recall,
+        "query_window": {
+            "ambient_busy_frac": round(q_busy0, 3),
+            "steal_sec": round((_steal_ticks() - q_steal0) / 100.0, 2),
+            "wall_sec": round(time.time() - q_t0, 1),
+        },
+    }))
+
+
 def main() -> None:
     os.makedirs(SCRATCH, exist_ok=True)
 
@@ -588,151 +742,68 @@ def main() -> None:
     # residue that a quarter-size log cannot amortize.  Three runs, min
     # taken; bucket count scaled to problem size (files-per-core parity).
     weak_spec = (small_log_path, n_small, max(128 // ratio, 1))
+    _t_p1 = time.time()
     pairs.append(
         _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
     )
-    _phase(f"pair1 done eff={pairs[-1]['efficiency']}")
+    #: measured cost of a full gate pair THIS window (boots + warms + timed
+    #: replays + weak slot) — 150s in calm windows, 220s+ in contended
+    #: ones; every later spend decision uses this, never a constant
+    pair_cost = time.time() - _t_p1
+    _phase(f"pair1 done eff={pairs[-1]['efficiency']} cost={pair_cost:.0f}s")
 
     def _clean(ps: list[dict]) -> list[dict]:
         return [p for p in ps if not p["contaminated"]]
 
-    # spend order (reserves = cost of everything still to come, so the
-    # complete query/recall table and the final JSON line always land):
-    # the 8-core headline solo leg -> gate pair 2 -> gate pair 3 (a 2-pair
-    # median is a mean; 3 pairs give a true median) -> retry pairs while
-    # none is clean -> the full saturated 2->8 pair only on surplus (its
-    # ratio is a diagnostic; the solo leg is what the round-over-round
-    # throughput comparison needs)
+    # spend order (every cost below is pair1's MEASURED cost or a measured
+    # child wall, never a guessed constant — constants drifted badly
+    # across host-noise windows and starved whole sections): the 8-core
+    # headline solo -> the COMPLETE query/recall table -> gate pairs 2..N
+    # (a 2-pair median is a mean; 3 give a true median) -> retries while
+    # no pair is clean -> the saturated 2->8 diagnostic pair on surplus.
+    # The query table runs SECOND, not last: in a contended window pairs
+    # cost 220s+ each and the old pairs-first order was observed to spend
+    # 462s of a 480s budget on two pairs, landing an EMPTY table.  It runs
+    # in its own child process so no stopped JVM lingers in the parent
+    # while later pair children measure (the 3-5x degradation hazard).
     sat_high_solo: dict | None = None
-    # the 8-core solo is the round-comparable headline, but in a slow
-    # window it must yield to pair2 + the complete query table: run it
-    # only while the schedule is healthy (time so far tracks a typical
-    # pair1) AND the reserve holds
-    if time.time() - _START < 215 and not _over_budget(reserve=240):
+    if not _over_budget(reserve=QUERY_CHILD_RESERVE + 45):
         sat_high_solo = _run_child(SAT_HIGH, log_path, N_EVENTS)
         _phase("sat solo done")
-    if not _over_budget(reserve=160):
-        pairs.append(
-            _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
-        )
+    # a second gate pair squeezes in BEFORE the query table only when the
+    # window is fast enough that both still fit (a 1-pair median is the
+    # gate's biggest fragility): this pair drops the embedded weak slot
+    # (pair1 already measured one) to run ~40s cheaper, and the query
+    # child can degrade to a single timed pass at ~95s, so that is the
+    # reserve it needs behind pair2's estimate.
+    p2_est = 0.95 * max(pair_cost - 45.0, 60.0) + 15.0
+    if not _over_budget(reserve=p2_est + 95.0):
+        pairs.append(_measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS))
         _phase(f"pair2 done eff={pairs[-1]['efficiency']}")
-    if not _over_budget(reserve=160):
+    qres = _run_queries_child()
+    _phase("queries+recall done")
+    while len(pairs) < PAIRS and not _over_budget(reserve=0.95 * pair_cost + 15):
         pairs.append(
             _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
         )
-        _phase(f"pair3 done eff={pairs[-1]['efficiency']}")
-    while not _clean(pairs) and len(pairs) < PAIRS + 2 and not _over_budget(reserve=160):
+        _phase(f"pair{len(pairs)} done eff={pairs[-1]['efficiency']}")
+    while not _clean(pairs) and len(pairs) < PAIRS + 2 and not _over_budget(reserve=0.95 * pair_cost + 15):
         pairs.append(
             _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
         )
-    if not _over_budget(reserve=300):
+        _phase(f"retry pair{len(pairs)} done eff={pairs[-1]['efficiency']}")
+    if not _over_budget(reserve=0.75 * pair_cost + 15):
         sat_pair = _measure_pair(SAT_HIGH, SAT_LOW, log_path, N_EVENTS)
         _phase(f"sat done eff={sat_pair['efficiency']}")
 
-    # --- headline queries at full parallelism ---------------------------
-    from pyspark.sql import functions as F
-
-    from adsimportpipeline_spark.functions.html import html_to_text
-    from adsimportpipeline_spark.plans.driver_queries import QUERIES
+    timings = qres.get("timings", {})
+    recall = qres.get("lsh_ann_recall_at_5")
+    ivf_recall = qres.get("ivf_ann_recall_at_5")
+    pair_recall = qres.get("near_dup_pair_recall")
     from adsimportpipeline_spark.plans.driver_queries import (
         IVF_LISTS as _IVF_LISTS,
         IVF_PROBE as _IVF_PROBE,
     )
-
-    _phase("pairs done, starting queries")
-    spark = _fresh_spark(CPUS, "bench-queries")
-    # steady-state timing: python workers (pandas import ~1s each) exist
-    # before the first timed query
-    spark.range(0, CPUS * 2, 1, CPUS * 2).select(
-        html_to_text(F.encode(F.lit("<p>warm</p>"), "utf-8"))
-    ).write.format("noop").mode("overwrite").save()
-    # steady-state timing 2: run every headline query once at sf0.001
-    # first — same plans, ~1/100 the data — so whole-stage-codegen classes
-    # are generated and JIT-tiered before the timed sf run (measured: the
-    # first cold execution of the apply-path plan pays ~3x; a production
-    # query service never runs a plan exactly once)
-    warm_sf = "/root/testdata/sf0.001"
-    #: the plans measured to pay a 3x+ cold-codegen penalty; warming only
-    #: these keeps the warm pass ~12s instead of ~25s
-    warm_list = ["cdc_final_state", "cdc_apply_replay", "record_merge",
-                 "doc_minhash_pairs", "lsh_ann_topk", "ivf_ann_topk"]
-    for name in warm_list:
-        # reserve covers the TIMED pass: warming is a timing nicety, a
-        # missing timed row is a hole in the table — warms yield first
-        # reserve=45 not 90: the warm list costs ~12s total and a timed
-        # pass WITHOUT it reads 3x+ on the cold plans (measured 9.5s for
-        # cdc_final_state in a squeezed window vs 1.3-1.7s warmed) — a few
-        # sane rows beat many cold-garbage ones
-        if name not in QUERIES or _over_budget(reserve=45):
-            continue
-        try:
-            QUERIES[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
-    #: queries whose ROWS the recall sections need: collect during the
-    #: timed run (results are tiny) so recall costs no second execution
-    stash_list = {"ann_topk", "lsh_ann_topk", "ivf_ann_topk",
-                  "embedding_near_dups_lsh"}
-    stash: dict[str, list] = {}
-    timings: dict[str, float] = {}
-    # stamp the query window with the same contention diagnostics the gate
-    # pairs carry: a 2x-slow table in a noisy window must be readable AS a
-    # noisy window, not as an engine regression
-    q_busy0, q_steal0, q_t0 = _external_busy_frac(), _steal_ticks(), time.time()
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        if _over_budget(reserve=10):  # the JSON line must always land
-            break
-        t0 = time.time()
-        df = QUERIES[name](spark, SF_DIR)
-        if name in stash_list:
-            stash[name] = df.collect()
-        else:
-            df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-
-    # Second timed pass, min per query — the same min-of-identical-runs
-    # rule the replay legs use (first-run JIT tier-up and bursty host
-    # contention only ever ADD time); budget-guarded so a slow window
-    # degrades to the single-pass table instead of losing the JSON line.
-    for name in list(timings):
-        if _over_budget(reserve=10 + 2 * timings[name]):
-            break
-        t0 = time.time()
-        df = QUERIES[name](spark, SF_DIR)
-        if name in stash_list:
-            df.collect()
-        else:
-            df.write.format("noop").mode("overwrite").save()
-        timings[name] = min(timings[name], round(time.time() - t0, 3))
-
-    # --- recalls from the stashed rows (no re-execution) ----------------
-    recall = ivf_recall = pair_recall = None
-    try:
-        exact = {(r["query_id"], r["vec_id"]) for r in stash["ann_topk"]}
-        approx = {(r["query_id"], r["vec_id"]) for r in stash["lsh_ann_topk"]}
-        recall = round(len(exact & approx) / max(len(exact), 1), 3)
-        ivf = {(r["query_id"], r["vec_id"]) for r in stash["ivf_ann_topk"]}
-        ivf_recall = round(len(exact & ivf) / max(len(exact), 1), 3)
-    except Exception:
-        pass
-    # bucketed near-dup pair recall needs the brute O(n^2) baseline, the
-    # one recall input not in the headline table — budget-gated
-    try:
-        if _over_budget(reserve=25):
-            raise TimeoutError
-        brute_pairs = {
-            (r["id_a"], r["id_b"])
-            for r in QUERIES["embedding_near_dups"](spark, SF_DIR).collect()
-        }
-        lsh_pairs = {(r["id_a"], r["id_b"]) for r in stash["embedding_near_dups_lsh"]}
-        pair_recall = round(len(brute_pairs & lsh_pairs) / max(len(brute_pairs), 1), 3)
-    except Exception:
-        pass
-    spark.stop()
-
-    _phase("queries+recall done")
     clean = _clean(pairs)
     # median over clean pairs; if every window was contaminated the full
     # (flagged) set is used — the table renders each pair's diagnostics
@@ -783,11 +854,7 @@ def main() -> None:
         "lsh_ann_recall_at_5": recall,
         "ivf_ann_recall_at_5": ivf_recall,
         "near_dup_pair_recall": pair_recall,
-        "query_window": {
-            "ambient_busy_frac": round(q_busy0, 3),
-            "steal_sec": round((_steal_ticks() - q_steal0) / 100.0, 2),
-            "wall_sec": round(time.time() - q_t0, 1),
-        },
+        "query_window": qres.get("query_window"),
         "scaling": {
             "cores_low": N_LOW,
             "cores_high": N_HIGH,
@@ -936,6 +1003,8 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--replay-child":
         replay_child(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--queries-child":
+        queries_child(float(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--datagen-child":
         datagen_child(sys.argv[2], sys.argv[3], int(sys.argv[4]),
                       sys.argv[5] if len(sys.argv) > 5 else None)

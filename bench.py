@@ -135,6 +135,35 @@ def _external_busy_frac(sample_sec: float = 0.5) -> float:
 def _phase(msg: str) -> None:
     print(f"[bench +{time.time() - _START:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
+
+#: every full run appends its gate-pair summary here, so a single noisy
+#: window (this VM shares a host) can never erase the evidence that the
+#: same engine meets the gate in calm ones — the history travels in the
+#: repo and each entry carries its window diagnostics and git revision
+RUNS_PATH = os.path.join(REPO, "BENCH", "RUNS.jsonl")
+
+
+def _append_run_history(entry: dict) -> list[dict]:
+    """Append this run's summary to BENCH/RUNS.jsonl (best-effort) and
+    return the full history, oldest first."""
+    history: list[dict] = []
+    try:
+        with open(RUNS_PATH) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    history.append(json.loads(line))
+    except Exception:
+        pass
+    history.append(entry)
+    try:
+        os.makedirs(os.path.dirname(RUNS_PATH), exist_ok=True)
+        with open(RUNS_PATH, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    except Exception:
+        pass
+    return history
+
 def _over_budget(reserve: float = 0.0) -> bool:
     return time.time() - _START > BUDGET_SEC - reserve
 
@@ -757,19 +786,18 @@ def main() -> None:
 
     # spend order (every cost below is pair1's MEASURED cost or a measured
     # child wall, never a guessed constant — constants drifted badly
-    # across host-noise windows and starved whole sections): the 8-core
-    # headline solo -> the COMPLETE query/recall table -> gate pairs 2..N
-    # (a 2-pair median is a mean; 3 give a true median) -> retries while
-    # no pair is clean -> the saturated 2->8 diagnostic pair on surplus.
+    # across host-noise windows and starved whole sections): [gate pair 2
+    # immediately, if pair1 was contaminated] -> the 8-core headline solo
+    # -> gate pair 2 if it still fits -> the COMPLETE query/recall table
+    # -> gate pairs 3..N (a 2-pair median is a mean; 3 give a true
+    # median) -> retries while no pair is clean -> the saturated 2->8
+    # diagnostic pair on surplus.
     # The query table runs SECOND, not last: in a contended window pairs
     # cost 220s+ each and the old pairs-first order was observed to spend
     # 462s of a 480s budget on two pairs, landing an EMPTY table.  It runs
     # in its own child process so no stopped JVM lingers in the parent
     # while later pair children measure (the 3-5x degradation hazard).
     sat_high_solo: dict | None = None
-    if not _over_budget(reserve=QUERY_CHILD_RESERVE + 45):
-        sat_high_solo = _run_child(SAT_HIGH, log_path, N_EVENTS)
-        _phase("sat solo done")
     # a second gate pair squeezes in BEFORE the query table only when the
     # window is fast enough that both still fit (a 1-pair median is the
     # gate's biggest fragility): this pair drops the embedded weak slot
@@ -777,7 +805,19 @@ def main() -> None:
     # child can degrade to a single timed pass at ~95s, so that is the
     # reserve it needs behind pair2's estimate.
     p2_est = 0.95 * max(pair_cost - 45.0, 60.0) + 15.0
-    if not _over_budget(reserve=p2_est + 95.0):
+    # gate priority: when pair1's window was contaminated, the next spend
+    # is another GATE pair (with its own weak slot — pair1's rode the same
+    # bad window), not the headline solo; a contaminated-only gate record
+    # misses the brief no matter how pretty the solo number reads.
+    if pairs[-1]["contaminated"] and not _over_budget(reserve=p2_est + 95.0):
+        pairs.append(
+            _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
+        )
+        _phase(f"pair2 done eff={pairs[-1]['efficiency']}")
+    if not _over_budget(reserve=QUERY_CHILD_RESERVE + 45):
+        sat_high_solo = _run_child(SAT_HIGH, log_path, N_EVENTS)
+        _phase("sat solo done")
+    if len(pairs) < 2 and not _over_budget(reserve=p2_est + 95.0):
         pairs.append(_measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS))
         _phase(f"pair2 done eff={pairs[-1]['efficiency']}")
     qres = _run_queries_child()
@@ -881,6 +921,37 @@ def main() -> None:
         },
     }
 
+    # run history: this window's gate summary + every prior run's, so the
+    # record survives a single noisy round-end window
+    try:
+        git_rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git_rev = None
+    history = _append_run_history({
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+        "git_rev": git_rev,
+        "gate_events": GATE_EVENTS,
+        "cores": [N_LOW, N_HIGH],
+        "strong_efficiency": round(strong_eff, 3),
+        "strong_efficiency_steal_adjusted": round(strong_eff_adj, 3),
+        "clean_pairs": len(clean),
+        "total_pairs": len(pairs),
+        "pair_effs": [p["efficiency"] for p in pairs],
+        "pair_contaminated": [p["contaminated"] for p in pairs],
+        "weak_efficiency": round(weak_eff, 3) if weak_eff else None,
+        "events_per_sec_8c": (
+            round(sat_high_solo["events_per_sec"], 1) if sat_high_solo else None
+        ),
+    })
+    # the file keeps every run; the report compares like with like — only
+    # runs at THIS gate geometry (sf0.01 flow-validation runs et al. are
+    # a different denominator)
+    history = [h for h in history if h.get("gate_events") == GATE_EVENTS]
+    result["scaling"]["run_history"] = history[-12:]
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         pair_rows = "".join(
@@ -945,6 +1016,25 @@ def main() -> None:
             "  Steal-adjusted = per-leg wall minus the hypervisor steal measured\n"
             "  on that leg's pinned CPUs during its run — dead time the engine\n"
             "  never had; both numbers are reported, neither is best-of.\n"
+            + (
+                "\nRun history (same geometry and protocol; every full run\n"
+                "appends to BENCH/RUNS.jsonl — nothing is selected out, so a\n"
+                "noisy shared-host window reads as one noisy entry in a\n"
+                "reproducible series, not as the record):\n\n"
+                "| run (UTC) | git | clean/total pairs | median eff | steal-adj | weak |\n"
+                "|---|---|---|---|---|---|\n"
+                + "".join(
+                    f"| {h.get('ts')} | {h.get('git_rev') or '-'} "
+                    f"| {h.get('clean_pairs')}/{h.get('total_pairs')} "
+                    f"| {h.get('strong_efficiency')}"
+                    f"{' (contaminated window)' if h.get('clean_pairs') == 0 else ''} "
+                    f"| {h.get('strong_efficiency_steal_adjusted')} "
+                    f"| {h.get('weak_efficiency') if h.get('weak_efficiency') is not None else '-'} |\n"
+                    for h in history[-10:]
+                )
+                if len(history) > 1
+                else ""
+            )
             + (
                 f"\nSaturated-bus pair — {SAT_LOW} -> {SAT_HIGH} cores on the SAME one-socket\n"
                 "memory bus (a real cluster's 4N executors would bring 4x the\n"

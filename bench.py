@@ -874,7 +874,11 @@ def main() -> None:
         weak_eff = None
 
     # round-comparable headline: the widest measured parallelism (the
-    # saturated pair's 8-core leg when it ran, else the primary high leg)
+    # saturated pair's 8-core leg when it ran, else the primary high leg).
+    # value_cores makes the denominator explicit: when gate-pair retries
+    # consume the 8-core solo's budget, value is a 4-CORE number on the
+    # smaller gate log — comparing it to an 8-core round headline would
+    # read as a phantom 2x regression.
     value = (
         sat_pair["events_per_sec_high"]
         if sat_pair
@@ -882,9 +886,11 @@ def main() -> None:
         if sat_high_solo
         else round(thr_high_med, 1)
     )
+    value_cores = SAT_HIGH if (sat_pair or sat_high_solo) else N_HIGH
     result = {
         "metric": "change_events_per_sec",
         "value": value,
+        "value_cores": value_cores,
         "unit": "events/sec",
         "queries": timings,
         "sf": SF,

@@ -581,29 +581,14 @@ def queries_child(budget_sec: float) -> None:
     spark.range(0, CPUS * 2, 1, CPUS * 2).select(
         html_to_text(F.encode(F.lit("<p>warm</p>"), "utf-8"))
     ).write.format("noop").mode("overwrite").save()
-    # steady-state timing 2: run every headline query once at sf0.001
-    # first — same plans, ~1/100 the data — so whole-stage-codegen classes
-    # are generated and JIT-tiered before the timed sf run (measured: the
-    # first cold execution of the apply-path plan pays ~3x; a production
-    # query service never runs a plan exactly once)
+    # steady-state timing 2: the cold-codegen-heavy plans get a per-query
+    # sf0.001 warm right before their timed run (a production query
+    # service never runs a plan exactly once)
     warm_sf = "/root/testdata/sf0.001"
-    #: the plans measured to pay a 3x+ cold-codegen penalty; warming only
-    #: these keeps the warm pass ~12s instead of ~25s
-    warm_list = ["cdc_final_state", "cdc_apply_replay", "record_merge",
-                 "doc_minhash_pairs", "lsh_ann_topk", "ivf_ann_topk"]
-    for name in warm_list:
-        # reserve covers the TIMED pass: warming is a timing nicety, a
-        # missing timed row is a hole in the table — warms yield first
-        # reserve=45 not 90: the warm list costs ~12s total and a timed
-        # pass WITHOUT it reads 3x+ on the cold plans (measured 9.5s for
-        # cdc_final_state in a squeezed window vs 1.3-1.7s warmed) — a few
-        # sane rows beat many cold-garbage ones
-        if name not in QUERIES or over(reserve=45):
-            continue
-        try:
-            QUERIES[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
+    #: the plans measured to pay a 3x+ cold-codegen penalty (measured 9.5s
+    #: for cdc_final_state cold in a squeezed window vs 1.3-1.7s warmed)
+    warm_list = {"cdc_final_state", "cdc_apply_replay", "record_merge",
+                 "doc_minhash_pairs", "lsh_ann_topk", "ivf_ann_topk"}
     #: queries whose ROWS the recall sections need: collect during the
     #: timed run (results are tiny) so recall costs no second execution
     stash_list = {"ann_topk", "lsh_ann_topk", "ivf_ann_topk",
@@ -618,6 +603,21 @@ def queries_child(budget_sec: float) -> None:
         if name not in QUERIES:
             continue
         if over(reserve=10):  # the JSON line must always land
+            break
+        # warm THIS plan at sf0.001 (~1-2s) immediately before its timed
+        # run — same plan, ~1/100 the data, so whole-stage-codegen classes
+        # are generated and JIT-tiered first.  Warming per query rather
+        # than in one up-front pass means a squeezed window degrades to
+        # FEWER warmed rows, never to cold-plan timings that read as a 4x
+        # engine regression against a calm round's table.
+        if name in warm_list:
+            try:
+                QUERIES[name](spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
+        if over(reserve=10):
             break
         t0 = time.time()
         df = QUERIES[name](spark, SF_DIR)

@@ -709,7 +709,8 @@ def main() -> None:
     _phase("machine probe done")
 
     def _measure_pair(hi: int, lo: int, log: str, n_ev: int, lo_runs: int = 2,
-                      weak: tuple[str, int, int] | None = None) -> dict:
+                      weak: tuple[str, int, int] | None = None,
+                      low_first: bool = False) -> dict:
         # lo_runs stays 2 everywhere: early measurements suggested the
         # 1-core leg had no warmup gap, but later windows showed its run 2
         # up to 25% faster too — dropping its second run would bias the
@@ -717,9 +718,19 @@ def main() -> None:
         # ``weak``: (log, events, buckets) for a weak-scaling denominator
         # measured inside the low child's JVM right after its strong runs —
         # same window as the pair, no extra boot, plan fully JIT-hot.
+        # ``low_first`` alternates the leg order across pairs: with a fixed
+        # high-then-low order, host noise that ramps monotonically DURING a
+        # pair always lands on the low leg and biases every ratio the same
+        # way (a whole run read 1.07-1.09 in one such window); alternating
+        # makes drift hit opposite legs in adjacent pairs so the median is
+        # robust to it.
         busy0, s0, t0 = _external_busy_frac(), _steal_ticks(), time.time()
-        h = _run_child(hi, log, n_ev)
-        l_ = _run_child(lo, log, n_ev, runs=lo_runs, weak=weak)
+        if low_first:
+            l_ = _run_child(lo, log, n_ev, runs=lo_runs, weak=weak)
+            h = _run_child(hi, log, n_ev)
+        else:
+            h = _run_child(hi, log, n_ev)
+            l_ = _run_child(lo, log, n_ev, runs=lo_runs, weak=weak)
         wall, steal_sec = time.time() - t0, (_steal_ticks() - s0) / 100.0
         thr_h, thr_l = h["events_per_sec"], l_["events_per_sec"]
         adj_h, adj_l = h["events_per_sec_adjusted"], l_["events_per_sec_adjusted"]
@@ -811,25 +822,29 @@ def main() -> None:
     # misses the brief no matter how pretty the solo number reads.
     if pairs[-1]["contaminated"] and not _over_budget(reserve=p2_est + 95.0):
         pairs.append(
-            _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
+            _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec,
+                          low_first=len(pairs) % 2 == 1)
         )
         _phase(f"pair2 done eff={pairs[-1]['efficiency']}")
     if not _over_budget(reserve=QUERY_CHILD_RESERVE + 45):
         sat_high_solo = _run_child(SAT_HIGH, log_path, N_EVENTS)
         _phase("sat solo done")
     if len(pairs) < 2 and not _over_budget(reserve=p2_est + 95.0):
-        pairs.append(_measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS))
+        pairs.append(_measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS,
+                                   low_first=len(pairs) % 2 == 1))
         _phase(f"pair2 done eff={pairs[-1]['efficiency']}")
     qres = _run_queries_child()
     _phase("queries+recall done")
     while len(pairs) < PAIRS and not _over_budget(reserve=0.95 * pair_cost + 15):
         pairs.append(
-            _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
+            _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec,
+                          low_first=len(pairs) % 2 == 1)
         )
         _phase(f"pair{len(pairs)} done eff={pairs[-1]['efficiency']}")
     while not _clean(pairs) and len(pairs) < PAIRS + 2 and not _over_budget(reserve=0.95 * pair_cost + 15):
         pairs.append(
-            _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec)
+            _measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS, weak=weak_spec,
+                          low_first=len(pairs) % 2 == 1)
         )
         _phase(f"retry pair{len(pairs)} done eff={pairs[-1]['efficiency']}")
     if not _over_budget(reserve=0.75 * pair_cost + 15):

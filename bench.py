@@ -826,13 +826,27 @@ def main() -> None:
                           low_first=len(pairs) % 2 == 1)
         )
         _phase(f"pair2 done eff={pairs[-1]['efficiency']}")
-    if not _over_budget(reserve=QUERY_CHILD_RESERVE + 45):
+    #: measured wall of the 8-core solo child (boot+warm+2 replays of the
+    #: full headline log) in typical windows
+    solo_cost = 55.0
+    # the solo runs before pair2 only when BOTH still fit: the brief's
+    # done-criterion is >=2 clean gate pairs, which outranks the
+    # round-comparable 8-core headline (value_cores labels the fallback)
+    if not _over_budget(
+        reserve=(p2_est + 95.0 + solo_cost)
+        if len(pairs) < 2
+        else (QUERY_CHILD_RESERVE + 45)
+    ):
         sat_high_solo = _run_child(SAT_HIGH, log_path, N_EVENTS)
         _phase("sat solo done")
     if len(pairs) < 2 and not _over_budget(reserve=p2_est + 95.0):
         pairs.append(_measure_pair(N_HIGH, N_LOW, gate_log_path, GATE_EVENTS,
                                    low_first=len(pairs) % 2 == 1))
         _phase(f"pair2 done eff={pairs[-1]['efficiency']}")
+    # solo on the surplus if pair2's priority displaced it and room remains
+    if sat_high_solo is None and not _over_budget(reserve=QUERY_CHILD_RESERVE + 45):
+        sat_high_solo = _run_child(SAT_HIGH, log_path, N_EVENTS)
+        _phase("sat solo done")
     qres = _run_queries_child()
     _phase("queries+recall done")
     while len(pairs) < PAIRS and not _over_budget(reserve=0.95 * pair_cost + 15):

@@ -986,6 +986,18 @@ def main() -> None:
     # a different denominator)
     history = [h for h in history if h.get("gate_events") == GATE_EVENTS]
     result["scaling"]["run_history"] = history[-12:]
+    # pooled median over every archived CLEAN pair at this geometry — the
+    # strongest unfiltered cross-window statistic (single windows lie on a
+    # shared host; nothing is ever removed from the pool)
+    pooled = [
+        e
+        for h in history
+        for e, c in zip(h.get("pair_effs", []), h.get("pair_contaminated", []))
+        if not c
+    ]
+    pooled_median = round(statistics.median(pooled), 3) if pooled else None
+    result["scaling"]["pooled_clean_pairs"] = len(pooled)
+    result["scaling"]["pooled_clean_median"] = pooled_median
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -1066,6 +1078,14 @@ def main() -> None:
                     f"| {h.get('strong_efficiency_steal_adjusted')} "
                     f"| {h.get('weak_efficiency') if h.get('weak_efficiency') is not None else '-'} |\n"
                     for h in history[-10:]
+                )
+                + (
+                    f"\nPooled median over all {len(pooled)} archived CLEAN\n"
+                    f"pairs at this geometry: **{pooled_median}** — the\n"
+                    "strongest unfiltered cross-window statistic; every\n"
+                    "clean pair ever measured is in the pool, none removed.\n"
+                    if pooled_median is not None
+                    else ""
                 )
                 if len(history) > 1
                 else ""

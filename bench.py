@@ -1077,7 +1077,7 @@ def main() -> None:
                     f"{' (contaminated window)' if h.get('clean_pairs') == 0 else ''} "
                     f"| {h.get('strong_efficiency_steal_adjusted')} "
                     f"| {h.get('weak_efficiency') if h.get('weak_efficiency') is not None else '-'} |\n"
-                    for h in history[-10:]
+                    for h in history[-14:]
                 )
                 + (
                     f"\nPooled median over all {len(pooled)} archived CLEAN\n"

@@ -1905,6 +1905,163 @@ def q_cdc_apply_replay(spark, sf_dir):
 
 
 # =====================================================================
+# combined suites (driver-registry width control)
+# =====================================================================
+# The driver records at most the FIRST 50 registry rows; round 4's last 8
+# rows (the whole ANN suite + author_merge) never reached the official
+# correctness record.  These three suites compute the SAME expressions as
+# the individual scalar/textstat rows they subsume — value-level oracle
+# evidence per operator is preserved, one row instead of four-to-six.
+# The individual q_* functions stay exported (bench timings + tests).
+
+
+def q_scalar_suite_docs(spark, sf_dir):
+    """Combined documents-side ragged-scalar suite — one oracle row for
+    F4 ensureList (enforce_schema.py:40-43), F5 ensureLanguageSchema
+    (enforce_schema.py:21-38), F7 bibstem_mapper (solr_adapter.py:752-776)
+    and F9 type mappers (solr_adapter.py:658-705).  Column-for-column the
+    union of q_ensure_list / q_language_schema / q_host_stem_map /
+    q_source_class_map, evaluated in a single projection."""
+    from ..functions.scalars import (
+        ensure_language_schema,
+        ensure_list,
+        host_stem_mapper,
+        source_class_mapper,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # F4 twin columns (q_ensure_list)
+    scalar = F.when(F.col("doc_id") % 3 == 0, F.col("lang"))
+    arr = F.when(F.col("doc_id") % 3 == 1, F.array(F.col("lang"), F.col("source")))
+    el = ensure_list(scalar, arr)
+    # F5 ragged structs (q_language_schema)
+    plain = F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+    structs = F.when(
+        F.col("doc_id") % 2 != 0,
+        F.array(
+            F.struct(F.col("lang").alias("at_lang"), F.col("source").alias("hash_text")),
+            F.struct(
+                F.lit(None).cast("string").alias("at_lang"),
+                F.col("text").alias("hash_text"),
+            ),
+        ),
+    )
+    ls = ensure_language_schema(plain, structs)
+    # F7 host stems (q_host_stem_map)
+    host = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 7 == 0, F.lit("m."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+    )
+    short, long = host_stem_mapper(host)
+    return docs.select(
+        "doc_id",
+        F.size(el).cast("int").alias("n_values"),
+        F.array_join(el, "|").alias("values"),
+        F.array_join(
+            F.transform(ls, lambda s: F.coalesce(s["lang"], F.lit("<NULL>"))), "|"
+        ).alias("langs"),
+        F.array_join(
+            F.transform(ls, lambda s: F.coalesce(s["text"], F.lit("<NULL>"))), "|"
+        ).alias("texts"),
+        short.alias("short_stem"),
+        long.alias("long_stem"),
+        "source",
+        source_class_mapper(F.col("source")).alias("source_class"),
+    )
+
+
+_SCALAR_SUITE_DOCS_SQL = f"""
+SELECT doc_id,
+       len({_ENSURE_LIST_NORM})::INT AS n_values,
+       coalesce(array_to_string({_ENSURE_LIST_NORM}, '|'), '') AS values,
+       array_to_string(list_transform({_LANG_SCHEMA_NORM},
+                                      s -> coalesce(s.lang, '<NULL>')), '|') AS langs,
+       array_to_string(list_transform({_LANG_SCHEMA_NORM},
+                                      s -> coalesce(s.text, '<NULL>')), '|') AS texts,
+       {_HOST_SHORT_SQL} AS short_stem,
+       {_HOST_LONG_SQL} AS long_stem,
+       source,
+       {source_class_mapper_sql('source')} AS source_class
+FROM documents
+"""
+
+
+def q_scalar_suite_events(spark, sf_dir):
+    """Combined events-side scalar-normalization suite — one oracle row for
+    F1/F2 parseDate with all quirks (enforce_schema.py:55-83), F3 parseBool
+    and F15 midnight day-shift (solr_adapter.py:283-300).  Column-for-column
+    the union of q_scalar_normalize / q_parse_date_multi."""
+    from ..functions.scalars import parse_date_multi
+
+    ev = _t(spark, sf_dir, "events")
+    dstr = F.substring(F.col("ts").cast("string"), 1, 10)
+    mstr = F.concat(F.substring(F.col("ts").cast("string"), 1, 7), F.lit("-01"))
+    datestr = (
+        F.when(F.col("event_id") % 7 == 0, F.lit("1880-05"))
+        .when(F.col("event_id") % 5 == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+        .when(F.col("event_id") % 5 == 1, F.date_format("ts", "yyyy-MM-dd"))
+        .when(F.col("event_id") % 5 == 2, F.date_format("ts", "yyyy-MM"))
+        .when(F.col("event_id") % 5 == 3, F.date_format("ts", "yyyy"))
+        .otherwise(F.concat(F.date_format("ts", "yyyy"), F.lit("-00")))
+    )
+    return ev.select(
+        "event_id",
+        F.to_timestamp(dstr).alias("parsed_date"),
+        F.to_timestamp(mstr).alias("parsed_month"),
+        (F.col("value") > 50).alias("flag"),
+        F.when(F.hour("ts") == 0, F.col("ts") + F.expr("INTERVAL 1 DAY")).otherwise(F.col("ts")).alias("entry_date"),
+        datestr.alias("datestr"),
+        parse_date_multi(datestr).alias("solr_date"),
+    )
+
+
+_SCALAR_SUITE_EVENTS_SQL = f"""
+WITH d AS (SELECT *, {_DATESTR_SQL} AS datestr FROM events)
+SELECT event_id,
+       CAST(substr(ts::VARCHAR, 1, 10) AS TIMESTAMP) AS parsed_date,
+       CAST(substr(ts::VARCHAR, 1, 7) || '-01' AS TIMESTAMP) AS parsed_month,
+       value > 50 AS flag,
+       CASE WHEN extract(hour FROM ts) = 0 THEN ts + INTERVAL 1 DAY ELSE ts END AS entry_date,
+       datestr,
+       {parse_date_multi_sql('datestr')} AS solr_date
+FROM d
+"""
+
+
+def q_doc_textstats(spark, sf_dir):
+    """Combined text-analysis suite over documents — one oracle row for
+    language-ID (stopword-marker argmax), quality scoring, whitespace +
+    BPE-ish token counting and the content fingerprint / portable 63-bit
+    hash.  Column-for-column the union of q_doc_lang_id / q_doc_quality /
+    q_doc_token_count / q_doc_fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        content_fingerprint("text").alias("fingerprint"),
+        portable_hash(F.col("text")).alias("hash63"),
+    )
+
+
+_DOC_TEXTSTATS_SQL = f"""
+SELECT doc_id,
+       {lang_id_sql('text')} AS lang_pred,
+       {quality_score_sql('text')} AS quality,
+       {token_count_sql('text')}::BIGINT AS n_tokens,
+       {bpe_ish_token_count_sql('text')}::BIGINT AS n_bpe_tokens,
+       {content_fingerprint_sql('text')} AS fingerprint,
+       CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hash63
+FROM documents
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -1941,6 +2098,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top2_per_type": q_top2_per_type,
     "identifier_union": q_identifier_union,
     "scalar_normalize": q_scalar_normalize,
+    "scalar_suite_docs": q_scalar_suite_docs,
+    "scalar_suite_events": q_scalar_suite_events,
+    "doc_textstats": q_doc_textstats,
     "parse_date_multi": q_parse_date_multi,
     "language_schema": q_language_schema,
     "host_stem_map": q_host_stem_map,
@@ -1999,6 +2159,9 @@ ORACLES: dict[str, str] = {
     "top2_per_type": _TOP2_SQL,
     "identifier_union": _IDENT_UNION_SQL,
     "scalar_normalize": _SCALAR_SQL,
+    "scalar_suite_docs": _SCALAR_SUITE_DOCS_SQL,
+    "scalar_suite_events": _SCALAR_SUITE_EVENTS_SQL,
+    "doc_textstats": _DOC_TEXTSTATS_SQL,
     "parse_date_multi": _PARSE_DATE_SQL,
     "language_schema": _LANG_SCHEMA_SQL,
     "host_stem_map": _HOST_STEM_SQL,
@@ -2035,3 +2198,77 @@ ORACLES: dict[str, str] = {
 }
 if _AUTHOR_MERGE_SQL is not None:
     ORACLES["author_merge"] = _AUTHOR_MERGE_SQL
+
+
+# ---------------------------------------------------------------------
+# driver-facing registry: the correctness gate records at most the FIRST
+# 50 rows of __spark_entry__.queries().  QUERIES above stays the full
+# superset (bench timings + tests use it); this list is what the driver
+# sees — 49 rows, every §2 operator still value-checked:
+#   - the 8 rows orphaned in rounds 3-4 (ANN suite, author_merge,
+#     multimodal_decode, doc_fingerprint-as-textstats) lead;
+#   - lww_latest_salted / lww_latest_semi are physical-strategy variants
+#     of lww_latest (identical oracle SQL) — pytest-covered, off-record;
+#   - six scalar one-liner rows are folded into scalar_suite_docs /
+#     scalar_suite_events, four textstat rows into doc_textstats
+#     (same expressions, same tables, one row each).
+DRIVER_REGISTRY: list[str] = [
+    # previously-orphaned rows first
+    "author_merge",
+    "ann_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "embedding_near_dups",
+    "embedding_near_dups_lsh",
+    "multimodal_decode",
+    "doc_textstats",
+    # flagship + storage path
+    "cdc_final_state",
+    "cdc_apply_replay",
+    "multimodal_frames",
+    # CDC / merge operator rows
+    "lww_latest",
+    "lww_latest_window",
+    "changed_records",
+    "new_records",
+    "orphaned_records",
+    "deletion_cap",
+    "tombstone_guard",
+    "fingerprint_agg",
+    "origin_trust_merge",
+    "record_merge",
+    "merge_text",
+    "take_all",
+    "take_all_by_priority",
+    "boolean_merge",
+    "references_merge",
+    "block_grouping",
+    "publication_split",
+    "first_writer_wins",
+    "top2_per_type",
+    "identifier_union",
+    "scalar_suite_events",
+    "scalar_suite_docs",
+    "positional_zip",
+    "typed_element_filter",
+    "canonical_fingerprints",
+    "output_projection",
+    "pricing_summary",
+    "top_revenue_orders",
+    "semi_join_lookup",
+    # dedup suite
+    "doc_fingerprint_groups",
+    "doc_minhash_sigs",
+    "doc_minhash_pairs",
+    "doc_dup_clusters",
+    "doc_dedup_survivors",
+    "doc_simhash",
+    "doc_simhash_groups",
+    "doc_simhash_pairs",
+    "lsh_bucket_audit",
+]
+
+assert len(DRIVER_REGISTRY) <= 50, "driver records only the first 50 rows"
+assert set(DRIVER_REGISTRY) <= set(QUERIES), sorted(
+    set(DRIVER_REGISTRY) - set(QUERIES)
+)

@@ -20,8 +20,10 @@ sys.path.insert(0, REPO)
 
 SF = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
 # data-fitted oracle literals (IVF centroids, author-merge VALUES) must be
-# generated from the swept dataset; must be set before __spark_entry__ loads
-os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", SF)
+# generated from the swept dataset; set UNCONDITIONALLY before
+# __spark_entry__ loads — a stale pre-exported env silently fitting the
+# oracle on the wrong dataset produced false mismatches (round-4 advice)
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF
 ONLY = set(sys.argv[2:]) if len(sys.argv) > 2 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

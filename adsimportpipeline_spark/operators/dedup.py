@@ -179,6 +179,7 @@ def jaccard_verify(
     shingles: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    assume_distinct: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs only (never all-pairs).
 
@@ -192,8 +193,19 @@ def jaccard_verify(
     matches, and union sizes come from a per-doc count join —
     ``|A ∪ B| = |A| + |B| - |A ∩ B|``.  Requires ``threshold > 0``
     (zero-intersection pairs drop out of the count join; they could never
-    pass a positive threshold anyway — asserted)."""
+    pass a positive threshold anyway — asserted).
+
+    PRECONDITION (as load-bearing as ``threshold > 0``): ``shingles`` rows
+    must be DISTINCT per (doc, shingle) and ``pairs`` DISTINCT per
+    (id_a, id_b) — the COUNT-based intersection/size math is inflated by
+    duplicates, unlike the old collect_set formulation.  Both in-package
+    producers guarantee this (word_shingles and lsh_candidate_pairs end in
+    distinct); external callers with possibly-dirty inputs pass
+    ``assume_distinct=False`` to buy the extra dedup shuffles."""
     assert threshold > 0, "equi-join count drops 0-intersection pairs"
+    if not assume_distinct:
+        shingles = shingles.select(id_col, "shingle").distinct()
+        pairs = pairs.select("id_a", "id_b").distinct()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -469,6 +481,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every document gets
     a ``cluster_id`` = the smallest id reachable through pairs (singletons
@@ -492,18 +505,27 @@ def duplicate_clusters(
     count); the label frame is two narrow columns localCheckpoint'ed each
     round — lineage stays O(1) instead of growing a join tower, and the
     edge list is materialized once up front so the (possibly expensive)
-    pair-producing plan never re-executes.  On a multi-executor cluster
-    swap localCheckpoint for a reliable checkpoint dir; the plan shape is
-    unchanged."""
+    pair-producing plan never re-executes.
+
+    ``checkpoint_dir``: when given, per-round truncation uses RELIABLE
+    checkpointing into that directory (set once via
+    ``sparkContext.setCheckpointDir``) — executor-loss- and driver-restart-
+    safe, the multi-executor deployment mode.  When None (local/test
+    default) ``localCheckpoint`` is used: same plan shape, blocks pinned on
+    executors, no directory needed."""
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    edges = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()
+    edges = _ckpt(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("u"), F.col(id_col).alias("lbl")
-    ).localCheckpoint()
+    labels = _ckpt(
+        nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("lbl"))
+    )
 
     for _ in range(max_iter):
         nbr_min = (
@@ -516,10 +538,9 @@ def duplicate_clusters(
         )
         # pointer jump: follow the label's own label one hop (path halving)
         parent = prop.select(F.col("u").alias("lbl"), F.col("lbl").alias("_ll"))
-        jumped = (
+        jumped = _ckpt(
             prop.join(parent, "lbl", "left")
             .select("u", F.coalesce(F.col("_ll"), F.col("lbl")).alias("lbl"))
-            .localCheckpoint()
         )
         changed = (
             jumped.alias("n")

@@ -275,3 +275,58 @@ def test_duplicate_clusters_long_chain_converges_fast(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(nodes, pairs).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_clusters_reliable_checkpoint_dir(spark, tmp_path):
+    """The cluster deployment mode: with ``checkpoint_dir`` the CC loop
+    truncates lineage via RELIABLE df.checkpoint() into the given dir and
+    must converge to the same labels as the localCheckpoint default; the
+    dir must actually receive checkpoint data (driver-restart safety is
+    real, not a code path that silently fell back)."""
+    import os
+
+    from adsimportpipeline_spark.operators.dedup import duplicate_clusters
+
+    n = 17
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    ckdir = str(tmp_path / "cc_ckpt")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            nodes, pairs, checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    walked = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert walked, "reliable checkpoint dir stayed empty — fallback happened"
+
+
+def test_jaccard_verify_assume_distinct_false_dedups_dirty_inputs(spark):
+    """Duplicate (doc, shingle) and (id_a, id_b) rows inflate the equi-join
+    counts; assume_distinct=False must dedup first and reproduce the clean
+    result exactly."""
+    from adsimportpipeline_spark.operators.dedup import jaccard_verify, word_shingles
+
+    docs = _corpus(spark)
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    pairs = spark.createDataFrame(
+        [(1000, 1001), (0, 1), (0, 1000)], "id_a long, id_b long"
+    )
+    clean = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_verify(pairs, sh, "doc_id", threshold=0.1).collect()
+    }
+    dirty = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_verify(
+            pairs.union(pairs),
+            sh.union(sh),
+            "doc_id",
+            threshold=0.1,
+            assume_distinct=False,
+        ).collect()
+    }
+    assert dirty == clean and clean

@@ -111,6 +111,12 @@ class LakeTable:
         The revalidate-and-flip runs under an exclusive ``flock`` so two
         same-parent writers cannot interleave check and flip (without it,
         both could pass the check before either flips — a lost update).
+        SCOPE: ``flock`` is advisory and only reliable for writers on the
+        SAME host over a local filesystem — like the rest of this local-
+        lake stand-in (POSIX rename/link atomicity).  Cross-host writers
+        on NFS/object storage get no exclusion here; a real deployment
+        does this CAS against an Iceberg catalog (Hive/REST/DynamoDB
+        lock), which is exactly the seam this method stands in for.
         Crash-leftover manifests (claimed version file, ``_CURRENT`` never
         flipped) do NOT raise: the claim loop skips them and the check
         compares against ``_CURRENT``, which they never touched."""
@@ -385,40 +391,63 @@ class LakeTable:
         m["version"] = m["version"] + 1
         return self._commit_manifest(m, parent_version=parent_version)
 
-    def compact(self, bucket_ids: list[int] | None = None) -> int:
+    def compact(self, bucket_ids: list[int] | None = None, retries: int = 0) -> int:
         """Small-file compaction: rewrite each bucket's file group into a
         fresh single group (Iceberg rewrite_data_files analog).  Untouched
-        buckets carry forward; readers keep older snapshots via time travel."""
-        m = self.manifest()
-        if bucket_ids is None:
-            bucket_ids = [int(b) for b in m["buckets"]]
-        data = self.read_buckets(bucket_ids, m)
-        return self.overwrite_buckets(
-            data, bucket_ids, new_schema=self.schema(m), parent_version=m["version"]
-        )
+        buckets carry forward; readers keep older snapshots via time travel.
 
-    def compact_appends(self) -> int:
+        ``retries``: a maintenance rewrite racing a streaming committer
+        loses the CAS and raises :class:`CommitConflictError`; its re-plan
+        is trivially safe (re-read the now-current snapshot, rewrite
+        again), so schedulers pass ``retries=1`` to absorb one conflict —
+        the losing attempt's data files are orphans until
+        :meth:`remove_orphans`.  The default stays raise-on-conflict so an
+        unexpected race is never silent."""
+        for attempt in range(retries + 1):
+            m = self.manifest()
+            ids = bucket_ids if bucket_ids is not None else [int(b) for b in m["buckets"]]
+            data = self.read_buckets(ids, m)
+            try:
+                return self.overwrite_buckets(
+                    data, ids, new_schema=self.schema(m), parent_version=m["version"]
+                )
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def compact_appends(self, retries: int = 0) -> int:
         """Fold the append-only tombstone/lineage branches — one file per
         micro-batch otherwise — into a single file each (Iceberg
         rewrite_manifests + position-delete compaction analog).  Without
         this, N micro-batches mean N tombstone files re-read by EVERY
         subsequent batch's resurrection guard and an O(N) manifest; with
         periodic folding both stay O(1).  Contents are preserved exactly
-        (the audit log is a distinct set; folding does not dedup rows)."""
-        m = self.manifest()
-        parent = m["version"]
-        for branch, tag in (("tombstone_files", "tomb"), ("lineage_files", "lin")):
-            paths = [e["path"] for e in m[branch]]
-            if len(paths) <= 1:
-                continue
-            df = self.spark.read.parquet(*paths).repartition(1)
-            d = self._write_data_dir(df, f"{tag}c")
-            m[branch] = [
-                {"path": p, "schema_id": m["current_schema_id"]}
-                for p in self._parquet_files(d)
-            ]
-        m["version"] = m["version"] + 1
-        return self._commit_manifest(m, parent_version=parent)
+        (the audit log is a distinct set; folding does not dedup rows).
+
+        ``retries`` follows :meth:`compact`'s contract: pass 1 from a
+        scheduled maintenance job to absorb one lost CAS against a live
+        streaming writer; default raises."""
+        for attempt in range(retries + 1):
+            m = self.manifest()
+            parent = m["version"]
+            for branch, tag in (("tombstone_files", "tomb"), ("lineage_files", "lin")):
+                paths = [e["path"] for e in m[branch]]
+                if len(paths) <= 1:
+                    continue
+                df = self.spark.read.parquet(*paths).repartition(1)
+                d = self._write_data_dir(df, f"{tag}c")
+                m[branch] = [
+                    {"path": p, "schema_id": m["current_schema_id"]}
+                    for p in self._parquet_files(d)
+                ]
+            m["version"] = m["version"] + 1
+            try:
+                return self._commit_manifest(m, parent_version=parent)
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop manifests older than the newest ``keep_last`` and delete

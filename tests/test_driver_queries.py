@@ -65,8 +65,33 @@ def test_query_matches_oracle(spark, sf_dir, ddb, name):
     assert sh == oh, f"{name}: value mismatch, first diffs: {mismatches}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_oracleless_query_runs(spark, sf_dir, name):
-    sdf = QUERIES[name](spark, sf_dir)
-    assert sdf.count() >= 0
-    assert len(sdf.columns) > 0
+def test_driver_registry_contract():
+    """The driver records only the FIRST 50 rows of queries(): the exposed
+    registry must stay <=50, resolve every name, pair every row with an
+    oracle, and lead with the rows that were orphaned past position 50 in
+    rounds 3-4 (the ANN suite + author_merge)."""
+    from adsimportpipeline_spark.plans.driver_queries import DRIVER_REGISTRY
+
+    assert len(DRIVER_REGISTRY) <= 50
+    assert len(set(DRIVER_REGISTRY)) == len(DRIVER_REGISTRY)
+    assert set(DRIVER_REGISTRY) <= set(QUERIES)
+    assert set(DRIVER_REGISTRY) <= set(ORACLES)
+    lead = set(DRIVER_REGISTRY[:8])
+    assert {
+        "author_merge", "ann_topk", "lsh_ann_topk", "ivf_ann_topk",
+        "embedding_near_dups", "embedding_near_dups_lsh",
+        "multimodal_decode", "doc_textstats",
+    } <= lead
+
+
+def test_oracleless_queries_run(spark, sf_dir):
+    """Every registry query without a DuckDB twin must still execute.  The
+    set is currently EMPTY — even author_merge carries a generated oracle —
+    which used to surface as pytest's unexplained 'empty parameter set'
+    SKIP; a plain loop keeps the suite at zero skips while still covering
+    any oracle-less query someone adds later."""
+    names = sorted(set(QUERIES) - set(ORACLES))
+    for name in names:
+        sdf = QUERIES[name](spark, sf_dir)
+        assert sdf.count() >= 0
+        assert len(sdf.columns) > 0

@@ -181,6 +181,45 @@ def test_two_writer_conflict_rejected_not_last_wins(spark, tmp_path):
     assert {r["url"] for r in a.read().collect()} == {"from-b"}
 
 
+def test_compact_retries_absorbs_one_conflict(spark, tmp_path):
+    """Maintenance-path retry contract: compact() racing another committer
+    raises by default; compact(retries=1) re-plans against the fresh
+    snapshot once and lands without reverting the intruder's delta."""
+    import pytest as _pytest
+
+    from adsimportpipeline_spark.lake.table import CommitConflictError
+
+    root = str(tmp_path / "cr")
+    t = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=4)
+    t.overwrite_buckets(_rows(spark, ["seed"]), list(range(4)))
+    other = LakeTable.load(spark, root)
+
+    # arm an intruder that commits between compact's plan and its publish
+    orig_read = t.read_buckets
+    armed = {"shots": 1}
+
+    def racy_read(bucket_ids, m=None):
+        df = orig_read(bucket_ids, m)
+        if armed["shots"] > 0:
+            armed["shots"] -= 1
+            other.overwrite_buckets(
+                _rows(spark, ["intruder"]), list(range(4)),
+                parent_version=other.current_version(),
+            )
+        return df
+
+    t.read_buckets = racy_read
+    with _pytest.raises(CommitConflictError):
+        t.compact()
+
+    armed["shots"] = 1
+    v_before = t.current_version()
+    t.compact(retries=1)
+    assert t.current_version() == v_before + 2  # intruder + retried compact
+    # the retried compact rewrote the CURRENT snapshot (intruder's data)
+    assert {r["url"] for r in t.read().collect()} == {"intruder"}
+
+
 def test_crash_leftover_manifest_does_not_conflict(spark, tmp_path):
     """A crashed commit's leftover version file (claimed but _CURRENT never
     flipped) must not raise a conflict for the next live writer — the claim

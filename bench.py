@@ -539,7 +539,13 @@ def _run_queries_child() -> dict:
     (the parent must never host a JVM while replay children measure) and
     return its JSON dict; a failure degrades to an empty table, never a
     dead run."""
-    remaining = max(BUDGET_SEC - (time.time() - _START) - 15.0, 30.0)
+    # floor at the full reserve: when contamination retries ate the whole
+    # budget the query/recall table is the scarcer artifact (a squeezed
+    # child lands a single-pass cold table with null recalls — round-5
+    # 04:00 run), and the worst-case overrun is bounded (~+110s)
+    remaining = max(
+        BUDGET_SEC - (time.time() - _START) - 15.0, QUERY_CHILD_RESERVE + 10.0
+    )
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--queries-child",

@@ -474,13 +474,42 @@ def _machine_character() -> dict:
         mem_busy = min(_mem_once(arr) for _ in range(2))
         for p in procs:
             p.join()
+
+        # solo-turbo probe: the SAME ALU loop on N_HIGH concurrent pinned
+        # processes vs one.  Some host windows grant a lone busy vCPU a
+        # higher clock than each member of a multi-core load (measured
+        # ~1.17x on this VM after a host migration); that inflates every
+        # 1-core denominator leg and caps the measurable 1->4 ratio at
+        # ~1/turbo even for a perfectly scaling engine.  Diagnostic color
+        # for reading the pair table — never a gate adjustment.
+        def _alu_child(cpu, q) -> None:
+            # the child pins ITSELF before timing (inherited affinity is
+            # the parent's {0}; timing there would serialize startup)
+            try:
+                os.sched_setaffinity(0, {cpu})
+            except OSError:
+                pass
+            q.put(_alu_once())
+
+        def _alu_parallel(n: int) -> float:
+            q = mp.Queue()
+            ps = [mp.Process(target=_alu_child, args=(i, q)) for i in range(n)]
+            for p in ps:
+                p.start()
+            for p in ps:
+                p.join()
+            walls = [q.get() for _ in ps]
+            return min(walls)
+        para = min(_alu_parallel(N_HIGH) for _ in range(2))
         os.sched_setaffinity(0, prev_aff)
         return {
             "alu_contention_ratio": round(alu_busy / alu_solo, 3),
             "membw_contention_ratio": round(mem_busy / mem_solo, 3),
+            "solo_turbo_ratio": round(para / alu_solo, 3),
         }
     except Exception:
-        return {"alu_contention_ratio": None, "membw_contention_ratio": None}
+        return {"alu_contention_ratio": None, "membw_contention_ratio": None,
+                "solo_turbo_ratio": None}
 
 
 def _steal_ticks() -> int:
@@ -1175,6 +1204,16 @@ def main() -> None:
             "  A partly-bandwidth-bound job measured on ONE shared bus cannot\n"
             "  exceed the stream bound at 8 active cores; that is why the gate\n"
             "  pair is measured at 1 -> 4 cores, below the saturation knee.\n"
+            + (
+                f"  Solo-turbo: the same ALU loop runs {machine['solo_turbo_ratio']}x\n"
+                f"  slower per process at {N_HIGH} concurrent pinned processes than\n"
+                "  alone — in windows where this exceeds ~1.05 the host grants a\n"
+                "  lone busy vCPU a higher clock, inflating every 1-core\n"
+                "  denominator leg and capping the measurable 1->4 ratio near\n"
+                "  1/turbo for ANY engine (diagnostic, never a gate adjustment).\n"
+                if machine.get("solo_turbo_ratio") is not None
+                else ""
+            )
             + (f"- LSH-ANN recall@5 vs exact brute-force top-k: {recall}\n" if recall is not None else "")
             + (
                 f"- IVF-ANN recall@5 vs brute (probing {_IVF_PROBE} of {_IVF_LISTS}\n"

@@ -391,6 +391,70 @@ class LakeTable:
         m["version"] = m["version"] + 1
         return self._commit_manifest(m, parent_version=parent_version)
 
+    def append_buckets(
+        self,
+        new_data: DataFrame,
+        epoch_source: str | None = None,
+        epoch: int | None = None,
+        retries: int = 0,
+    ) -> int:
+        """Fast-append (Iceberg append-snapshot analog): add ``new_data``'s
+        rows as NEW file groups under their buckets without rewriting any
+        existing file — write cost is O(new rows), independent of bucket
+        size.  The right commit shape for append-heavy side tables (the
+        incremental LSH band index) where copy-on-write would re-write a
+        whole bucket per micro-batch.
+
+        Appends commute with appends: on a lost CAS the data files (already
+        written, immutable) are re-attached to a fresh snapshot and the
+        commit retried — no Spark job re-runs.  ``retries`` bounds that
+        loop; conflicts beyond it raise :class:`CommitConflictError` (the
+        files are then orphans until :meth:`remove_orphans`).
+
+        ``epoch_source``/``epoch`` give the same exactly-once re-delivery
+        guard as :meth:`overwrite_buckets`: an epoch at or below the
+        recorded one is a committed duplicate and the append is skipped."""
+        m = self.manifest()
+        if (
+            epoch_source is not None
+            and epoch is not None
+            and int(epoch) <= int(m["committed_epochs"].get(epoch_source, -1))
+        ):
+            return m["version"]
+        key, nb = m["key"], m["n_buckets"]
+        d = os.path.join(self.root, "data", f"a-{uuid.uuid4().hex[:12]}")
+        (
+            new_data.withColumn("_bucket", bucket_expr(key, nb))
+            .repartition(F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(d)
+        )
+        by_bucket: dict[int, list[str]] = {}
+        if os.path.isdir(d):
+            for sub in os.listdir(d):
+                if sub.startswith("_bucket="):
+                    by_bucket[int(sub.split("=", 1)[1])] = self._parquet_files(d, sub)
+        for attempt in range(retries + 1):
+            m = self.manifest()
+            sid = m["current_schema_id"]
+            for b, files in by_bucket.items():
+                m["buckets"].setdefault(str(b), []).extend(
+                    {"path": p, "schema_id": sid} for p in files
+                )
+            if epoch_source is not None and epoch is not None:
+                if int(epoch) <= int(m["committed_epochs"].get(epoch_source, -1)):
+                    return m["version"]  # raced a duplicate delivery
+                m["committed_epochs"][epoch_source] = int(epoch)
+            parent = m["version"]
+            m["version"] = parent + 1
+            try:
+                return self._commit_manifest(m, parent_version=parent)
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
+
     def compact(self, bucket_ids: list[int] | None = None, retries: int = 0) -> int:
         """Small-file compaction: rewrite each bucket's file group into a
         fresh single group (Iceberg rewrite_data_files analog).  Untouched

@@ -204,6 +204,7 @@ def lsh_index_pairs(
     index: LakeTable,
     pages_current: DataFrame,
     key: str = "url",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """ALL currently-valid near-dup candidate pairs from the index — the
     audit/cutover read that must equal batch-mode
@@ -213,12 +214,24 @@ def lsh_index_pairs(
     discovery is :func:`update_lsh_index`), keeps only rows whose
     (url, warc_ts, log_offset) still matches the pages table — superseded
     versions and tombstoned urls drop out here — and self-joins on the band
-    bucket.  Replay duplicates collapse in the distinct."""
+    bucket.  Replay duplicates collapse in the distinct.  ``bucket_cap``
+    is batch mode's boilerplate hygiene, applied over VALID rows (a
+    mega-bucket is skipped by both modes at the same membership count)."""
     valid = index.read().join(
         pages_current.select(F.col(key).alias("url"), "warc_ts", "log_offset"),
         ["url", "warc_ts", "log_offset"],
         "left_semi",
     )
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w_count = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        valid = (
+            valid.select("bucket", "url").distinct()
+            .withColumn("_bc", w_count)
+            .filter(F.col("_bc") <= bucket_cap)
+            .drop("_bc")
+        )
     a = valid.select(F.col("bucket"), F.col("url").alias("id_a"))
     b = valid.select(F.col("bucket"), F.col("url").alias("id_b"))
     return (

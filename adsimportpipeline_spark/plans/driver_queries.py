@@ -987,6 +987,72 @@ def q_doc_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_incremental_lsh_pairs(spark, sf_dir):
+    """Incremental LSH index vs the batch-mode oracle, end to end: deliver
+    the documents corpus as a 4-wave change stream (3 insert waves split by
+    a hash of doc_id, then a re-delivery wave that supersedes wave 0 with
+    newer offsets), maintain the band index incrementally
+    (operators/incremental_dedup.py — bucket-pruned candidate reads,
+    fast-append commits, validity by (url, warc_ts, log_offset) against
+    the final state), then verify the index's valid candidates with the
+    same jaccard pass as batch mode.  The oracle is _MINHASH_PAIRS_SQL
+    VERBATIM — four rounds of incremental maintenance with supersession
+    must land on exactly the answer a full batch recompute gives."""
+    import tempfile
+
+    from ..operators.incremental_dedup import (
+        create_lsh_index,
+        lsh_index_pairs,
+        update_lsh_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    # doc_id is already a unique long — offsets derive from it directly (no
+    # global row_number window, which would funnel the synth to one task)
+    base = docs.withColumn("_row", F.col("url").cast("long")).withColumn(
+        "warc_ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    wave_of = F.pmod(F.xxhash64("url"), F.lit(3))
+
+    index = create_lsh_index(
+        spark, tempfile.mkdtemp(prefix="inclsh-"), n_buckets=8
+    )
+    waves = [base.filter(wave_of == w) for w in range(3)]
+    # wave 3 re-delivers wave 0's docs (same text) at strictly newer
+    # offsets: the old band rows must stop matching the final state and the
+    # new ones take over — pair answer unchanged
+    waves.append(waves[0])
+    for w, wave in enumerate(waves):
+        upserts = wave.select(
+            "url",
+            "warc_ts",
+            (F.lit(w * 1_000_000) + F.col("_row")).alias("log_offset"),
+            "text",
+        )
+        update_lsh_index(index, upserts, batch_id=w)
+
+    final_current = base.select(
+        "url",
+        "warc_ts",
+        (
+            F.when(wave_of == 0, F.lit(3 * 1_000_000))
+            .otherwise(wave_of * F.lit(1_000_000))
+            + F.col("_row")
+        ).alias("log_offset"),
+    )
+    candidates = lsh_index_pairs(index, final_current, bucket_cap=LSH_BUCKET_CAP)
+    shingles = dedup.word_shingles(docs, "url", "text", n=3)
+    verified = dedup.jaccard_verify(candidates, shingles, id_col="url", threshold=0.05)
+    # pair identity is unordered; the index orients by STRING url order,
+    # the oracle by numeric doc_id — re-orient numerically
+    a, b = F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    return verified.select(
+        F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b"), "jaccard"
+    )
+
+
 def _band_sql(b: int, band_size: int = 2) -> str:
     cols = "||'|'||".join(f"mh{b * band_size + j}::VARCHAR" for j in range(band_size))
     return f"md5('{b}'||'|'||{cols}) AS band{b}"
@@ -2147,6 +2213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint_groups": q_doc_fingerprint_groups,
     "doc_minhash_sigs": q_doc_minhash_sigs,
     "doc_minhash_pairs": q_doc_minhash_pairs,
+    "incremental_lsh_pairs": q_incremental_lsh_pairs,
     "doc_dup_clusters": q_doc_dup_clusters,
     "doc_dedup_survivors": q_doc_dedup_survivors,
     "doc_simhash": q_doc_simhash,
@@ -2208,6 +2275,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint_groups": _EXACT_DUP_SQL,
     "doc_minhash_sigs": _MINHASH_SIGS_SQL,
     "doc_minhash_pairs": _MINHASH_PAIRS_SQL,
+    "incremental_lsh_pairs": _MINHASH_PAIRS_SQL,
     "doc_dup_clusters": _DUP_CLUSTERS_SQL,
     "doc_dedup_survivors": _DEDUP_SURVIVORS_SQL,
     "doc_simhash": _simhash_sql(16),
@@ -2292,6 +2360,7 @@ DRIVER_REGISTRY: list[str] = [
     "doc_fingerprint_groups",
     "doc_minhash_sigs",
     "doc_minhash_pairs",
+    "incremental_lsh_pairs",
     "doc_dup_clusters",
     "doc_dedup_survivors",
     "doc_simhash",

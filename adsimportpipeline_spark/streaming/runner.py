@@ -26,13 +26,40 @@ def run_replay(
     salted: bool = False,
     available_now: bool = True,
     collect_stats: list | None = None,
+    lsh_index_root: str | None = None,
 ) -> None:
-    """Replay the change log into the lake table; blocks until done."""
+    """Replay the change log into the lake table; blocks until done.
+
+    ``lsh_index_root``: when given, the MinHash-LSH band index
+    (:mod:`..operators.incremental_dedup`) is maintained in the same
+    micro-batch loop — per-batch work stays O(batch) — so near-dup
+    candidates are queryable at any point via
+    :func:`~..operators.incremental_dedup.lsh_index_pairs` without a
+    full-corpus recompute.  Exactly-once composes: the main table commits
+    its epoch FIRST; a crash between the two commits replays the batch,
+    the table apply no-ops on its epoch, and the index (whose epoch never
+    landed) catches up — both sides idempotent, proven by
+    tests/test_incremental_dedup.py."""
     table = LakeTable.load(spark, table_root)
     stream = stream_change_log(spark, log_path, max_files_per_trigger)
+    index = None
+    if lsh_index_root is not None:
+        from ..operators.incremental_dedup import (
+            batch_winner_texts,
+            create_lsh_index,
+            update_lsh_index,
+        )
+
+        index = create_lsh_index(spark, lsh_index_root)
 
     def _apply(batch_df, batch_id):
         stats = apply_batch(table, batch_df, batch_id, salted=salted)
+        if index is not None:
+            # post-LWW upserts only; a winner the table's stale-filter
+            # rejected still lands in the index but never matches the pages
+            # table, so the append-only validity rule drops it — no need to
+            # thread apply_batch's exact applied set through
+            update_lsh_index(index, batch_winner_texts(batch_df), batch_id)
         if collect_stats is not None:
             collect_stats.append(stats)
 

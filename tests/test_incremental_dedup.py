@@ -197,3 +197,47 @@ def test_update_survives_restart(replayed, spark, tmp_path):
     a = {tuple(r) for r in lsh_index_pairs(reopened, current).collect()}
     b = {tuple(r) for r in lsh_index_pairs(index, current).collect()}
     assert a == b
+
+
+def test_streaming_replay_maintains_index(spark, tmp_path):
+    """run_replay(lsh_index_root=...) maintains the band index inside the
+    checkpointed streaming loop: after the replay the index's valid pairs
+    equal a full batch recompute over the final table, and resuming from
+    the same checkpoint advances neither the table nor the index."""
+    from adsimportpipeline_spark.datagen import GenSpec, write_change_log
+    from adsimportpipeline_spark.streaming.runner import run_replay
+
+    log = str(tmp_path / "log")
+    write_change_log(
+        spark, log, GenSpec(n_events=3000, n_urls=150, seed=7), n_files=6
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "pages"), PAGES_SCHEMA, n_buckets=8
+    )
+    idx_root = str(tmp_path / "lsh")
+    ckpt = str(tmp_path / "ckpt")
+    run_replay(
+        spark, log, table.root, ckpt,
+        max_files_per_trigger=2, lsh_index_root=idx_root,
+    )
+    index = LakeTable.load(spark, idx_root)
+    assert index.last_epoch("lsh_index") >= 1  # several micro-batches ran
+
+    final = table.read()
+    incremental = {
+        tuple(r)
+        for r in lsh_index_pairs(
+            index, final.select("url", "warc_ts", "log_offset")
+        ).collect()
+    }
+    assert incremental == _batch_mode_pairs(final)
+    assert incremental  # the generator's duplicate factor guarantees some
+
+    # resume from the same checkpoint: no new data -> both sides untouched
+    tv, iv = table.current_version(), index.current_version()
+    run_replay(
+        spark, log, table.root, ckpt,
+        max_files_per_trigger=2, lsh_index_root=idx_root,
+    )
+    assert table.current_version() == tv
+    assert index.current_version() == iv

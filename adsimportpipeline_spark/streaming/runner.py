@@ -84,6 +84,7 @@ def run_replay_stateful(
     max_files_per_trigger: int | None = 8,
     available_now: bool = True,
     collect_stats: list | None = None,
+    lsh_index_root: str | None = None,
 ):
     """State-store replay mode: LWW resolved IN-STREAM with
     ``applyInPandasWithState`` (per-url high-water mark as streaming state),
@@ -96,7 +97,12 @@ def run_replay_stateful(
     rolled-back state version and reproduces identical decisions; the lake's
     commit-epoch manifest then makes re-application of an already-committed
     batch a no-op — same guarantee as :func:`run_replay`, proven by the
-    kill-and-resume test (tests/test_stateful_streaming.py)."""
+    kill-and-resume test (tests/test_stateful_streaming.py).
+
+    ``lsh_index_root`` maintains the MinHash-LSH band index in the same
+    loop, exactly as in :func:`run_replay` (table epoch commits first;
+    index rows for rows the state rejected never match the pages table, so
+    the append-only validity rule drops them)."""
     from pyspark.sql import functions as F
 
     from .stateful import stateful_lww_decisions
@@ -104,6 +110,15 @@ def run_replay_stateful(
     table = LakeTable.load(spark, table_root)
     stream = stream_change_log(spark, log_path, max_files_per_trigger)
     decided = stateful_lww_decisions(stream, passthrough_payload=True)
+    index = None
+    if lsh_index_root is not None:
+        from ..operators.incremental_dedup import (
+            batch_winner_texts,
+            create_lsh_index,
+            update_lsh_index,
+        )
+
+        index = create_lsh_index(spark, lsh_index_root)
 
     def _apply(batch_df, batch_id):
         # drop rows the state already rejected; deletes of ANY decision keep
@@ -112,6 +127,10 @@ def run_replay_stateful(
             (F.col("decision") == "apply") | (F.col("op") == "delete")
         )
         stats = apply_batch(table, pruned, batch_id, decision_col="decision")
+        if index is not None:
+            update_lsh_index(
+                index, batch_winner_texts(batch_df.drop("decision")), batch_id
+            )
         if collect_stats is not None:
             collect_stats.append(stats)
 

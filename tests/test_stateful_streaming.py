@@ -123,3 +123,39 @@ def test_stateful_replay_kill_and_resume(spark, tmp_path):
         for r in table.read_tombstones(TOMBSTONE_SCHEMA).collect()
     )
     assert got_tombs == tombs
+
+
+def test_stateful_replay_maintains_lsh_index(spark, tmp_path):
+    """Stateful replay with lsh_index_root: the in-stream LWW path maintains
+    the same band index as the default path — valid pairs equal a full batch
+    recompute over the final table."""
+    from adsimportpipeline_spark.lake.table import LakeTable
+    from adsimportpipeline_spark.operators import dedup
+    from adsimportpipeline_spark.operators.incremental_dedup import lsh_index_pairs
+    from adsimportpipeline_spark.schema import PAGES_SCHEMA
+    from adsimportpipeline_spark.streaming.runner import run_replay_stateful
+
+    spec = GenSpec(n_events=3000, n_urls=150, seed=23)
+    log = str(tmp_path / "log")
+    write_change_log(spark, log, spec, n_files=5)
+    table = LakeTable.create(spark, str(tmp_path / "pages"), PAGES_SCHEMA, n_buckets=8)
+    run_replay_stateful(
+        spark, log, table.root, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, lsh_index_root=str(tmp_path / "lsh"),
+    )
+    index = LakeTable.load(spark, str(tmp_path / "lsh"))
+    final = table.read()
+    incremental = {
+        tuple(r)
+        for r in lsh_index_pairs(
+            index, final.select("url", "warc_ts", "log_offset")
+        ).collect()
+    }
+    sigs = dedup.minhash_signatures(
+        dedup.word_shingles(final, id_col="url"), id_col="url"
+    )
+    batch = {
+        tuple(r) for r in dedup.lsh_candidate_pairs(sigs, id_col="url").collect()
+    }
+    assert incremental == batch
+    assert incremental

@@ -2002,6 +2002,92 @@ def q_cdc_apply_replay(spark, sf_dir):
     )
 
 
+def q_snapshot_changelog(spark, sf_dir):
+    """Lake-as-CDC-source check: apply the events-derived change log in TWO
+    micro-batches (deterministic prefix split at max(log_offset)//2), then
+    read the row-level changelog BETWEEN the two committed snapshots via
+    LakeTable.read_changes (Delta CDF / Iceberg changelog-scan analog).
+    The oracle recomputes both endpoint LWW states in SQL and classifies
+    insert/update/delete with a full-outer join — so one row verifies both
+    the incremental apply path (batch 2's stale-filter + tombstone-guard
+    semantics against batch 1's COMMITTED state, not a single-batch replay)
+    and the snapshot-diff changelog reader."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..apply import apply_batch, pages_schema_for
+    from ..lake.table import LakeTable
+
+    changes = change_stream_from_events(spark, sf_dir)
+    cut = changes.agg(F.max("log_offset")).first()[0] // 2  # one scalar
+    prev = getattr(q_snapshot_changelog, "_scratch", None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="cdc-changelog-oracle-")
+    if prev is None:
+        atexit.register(
+            lambda: shutil.rmtree(
+                getattr(q_snapshot_changelog, "_scratch", root), ignore_errors=True
+            )
+        )
+    q_snapshot_changelog._scratch = root
+    table = LakeTable.create(
+        spark, root, pages_schema_for(changes.schema), n_buckets=8
+    )
+    apply_batch(
+        table, changes.filter(F.col("log_offset") <= cut), batch_id=0,
+        prune_buckets=False,
+    )
+    v_from = table.current_version()
+    apply_batch(
+        table, changes.filter(F.col("log_offset") > cut), batch_id=1,
+        prune_buckets=False,
+    )
+    v_to = table.current_version()
+    ch = table.read_changes(v_from, v_to)
+    return ch.select(
+        "url",
+        F.col("_change_type").alias("change_type"),
+        "warc_ts",
+        "log_offset",
+        "lang",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+_CHANGELOG_STATE_SQL = """
+  SELECT url, warc_ts, log_offset, lang, md5({text_expr}) AS text_md5 FROM (
+    SELECT *, row_number() OVER (PARTITION BY url
+      ORDER BY warc_ts DESC, log_offset DESC) AS rn
+    FROM changes {where}) WHERE rn = 1 AND op <> 'delete'
+"""
+
+_SNAPSHOT_CHANGELOG_SQL = f"""
+WITH {_CHANGE_CTE},
+cut AS (SELECT max(event_id) // 2 AS c FROM events),
+s1 AS ({_CHANGELOG_STATE_SQL.format(
+    text_expr=extract_text_sql('body'),
+    where='WHERE log_offset <= (SELECT c FROM cut)')}),
+s2 AS ({_CHANGELOG_STATE_SQL.format(
+    text_expr=extract_text_sql('body'), where='')})
+SELECT coalesce(s2.url, s1.url) AS url,
+       CASE WHEN s1.url IS NULL THEN 'insert'
+            WHEN s2.url IS NULL THEN 'delete'
+            ELSE 'update_postimage' END AS change_type,
+       CASE WHEN s2.url IS NULL THEN s1.warc_ts ELSE s2.warc_ts END AS warc_ts,
+       CASE WHEN s2.url IS NULL THEN s1.log_offset ELSE s2.log_offset END
+         AS log_offset,
+       CASE WHEN s2.url IS NULL THEN s1.lang ELSE s2.lang END AS lang,
+       CASE WHEN s2.url IS NULL THEN s1.text_md5 ELSE s2.text_md5 END
+         AS text_md5
+FROM s1 FULL OUTER JOIN s2 ON s1.url = s2.url
+WHERE s1.url IS NULL OR s2.url IS NULL OR s1.log_offset <> s2.log_offset
+   OR s1.warc_ts <> s2.warc_ts OR s1.text_md5 <> s2.text_md5
+   OR coalesce(s1.lang, '') <> coalesce(s2.lang, '')
+"""
+
+
 # =====================================================================
 # combined suites (driver-registry width control)
 # =====================================================================
@@ -2171,6 +2257,7 @@ FROM documents
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_final_state": q_cdc_final_state,
     "cdc_apply_replay": q_cdc_apply_replay,
+    "snapshot_changelog": q_snapshot_changelog,
     "multimodal_frames": q_multimodal_frames,
     "lww_latest": q_lww_latest,
     "lww_latest_salted": q_lww_latest_salted,
@@ -2295,6 +2382,7 @@ ORACLES: dict[str, str] = {
     "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "cdc_final_state": _CDC_FINAL_SQL,
     "cdc_apply_replay": _CDC_FINAL_SQL,
+    "snapshot_changelog": _SNAPSHOT_CHANGELOG_SQL,
 }
 if _AUTHOR_MERGE_SQL is not None:
     ORACLES["author_merge"] = _AUTHOR_MERGE_SQL
@@ -2325,10 +2413,11 @@ DRIVER_REGISTRY: list[str] = [
     # flagship + storage path
     "cdc_final_state",
     "cdc_apply_replay",
+    "snapshot_changelog",
     "multimodal_frames",
-    # CDC / merge operator rows
+    # CDC / merge operator rows (lww_latest_window/_salted/_semi stay in
+    # QUERIES + tests; one registry row covers the LWW contract)
     "lww_latest",
-    "lww_latest_window",
     "changed_records",
     "new_records",
     "orphaned_records",

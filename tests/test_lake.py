@@ -276,3 +276,92 @@ def test_remove_orphans_cleans_crashed_commit_only(spark, tmp_path):
     assert not os.path.exists(crashed)  # empty dirs pruned
     assert os.path.isdir(inflight)  # grace window respected
     assert {tuple(r) for r in t.read().collect()} == live_rows  # live data intact
+
+
+def test_read_changes_insert_update_delete(spark, tmp_path):
+    """Snapshot-diff changelog (Delta CDF analog): net insert/update/delete
+    classification between two versions, delete rows carrying pre-images,
+    null-field rows comparing equal (exact null-safe struct compare)."""
+    t = LakeTable.create(spark, str(tmp_path / "c1"), PAGES_SCHEMA, n_buckets=4)
+
+    def rows(spec):  # spec: url -> (text, lang)
+        return spark.createDataFrame(
+            [
+                (u, datetime(2024, 1, 1), 1, None, txt, lang, "crawl", "fp")
+                for u, (txt, lang) in spec.items()
+            ],
+            PAGES_SCHEMA,
+        )
+
+    # v_from: a (with a NULL lang), b, c
+    t.overwrite_buckets(
+        rows({"a": ("ta", None), "b": ("tb", "en"), "c": ("tc", "de")}),
+        list(range(4)),
+    )
+    v_from = t.current_version()
+    # v_to: a unchanged (null lang must NOT read as a change), b updated,
+    # c deleted, d inserted
+    t.overwrite_buckets(
+        rows({"a": ("ta", None), "b": ("tb2", "en"), "d": ("td", "fr")}),
+        list(range(4)),
+    )
+    v_to = t.current_version()
+
+    ch = {
+        r["url"]: r
+        for r in t.read_changes(v_from, v_to).collect()
+    }
+    assert set(ch) == {"b", "c", "d"}  # 'a' is unchanged despite null field
+    assert ch["d"]["_change_type"] == "insert" and ch["d"]["text"] == "td"
+    assert ch["b"]["_change_type"] == "update_postimage" and ch["b"]["text"] == "tb2"
+    assert ch["c"]["_change_type"] == "delete" and ch["c"]["text"] == "tc"  # pre-image
+    assert all(r["_commit_version"] == v_to for r in ch.values())
+
+    # preimage mode: the update additionally yields its old row
+    pre = [
+        r
+        for r in t.read_changes(v_from, v_to, include_preimages=True).collect()
+        if r["_change_type"] == "update_preimage"
+    ]
+    assert len(pre) == 1 and pre[0]["url"] == "b" and pre[0]["text"] == "tb"
+
+    # identical endpoints -> empty changelog
+    assert t.read_changes(v_to, v_to).count() == 0
+    # reversed range is a caller error, not a silent empty result
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.read_changes(v_to, v_from)
+
+
+def test_read_changes_compaction_invisible_and_bucket_pruned(spark, tmp_path):
+    """A pure compaction diffs to zero rows (net semantics), and unchanged
+    buckets are never read: the changed-bucket set is derived from manifest
+    file-entry identity, so the scan excludes every carried-forward bucket."""
+    t = LakeTable.create(spark, str(tmp_path / "c2"), PAGES_SCHEMA, n_buckets=8)
+    urls = [f"u{i}" for i in range(40)]
+    t.overwrite_buckets(_rows(spark, urls), list(range(8)))
+    v1 = t.current_version()
+
+    # touch ONLY the bucket containing 'u0' (copy-on-write single-bucket
+    # commit): everything else carries forward by reference
+    by_bucket = (
+        _rows(spark, urls).select("url", bucket_expr("url", 8).alias("b")).collect()
+    )
+    b0 = next(r["b"] for r in by_bucket if r["url"] == "u0")
+    keep = [r["url"] for r in by_bucket if r["b"] == b0 and r["url"] != "u0"]
+    t.overwrite_buckets(_rows(spark, keep), [b0])  # u0 deleted, bucket rewritten
+    v2 = t.current_version()
+
+    out = t.read_changes(v1, v2)
+    # pruning: every parquet path feeding the diff lives in the touched bucket
+    scanned = {p.split("://", 1)[-1] for p in out.inputFiles()}
+    m1, m2 = t.manifest(v1), t.manifest(v2)
+    allowed = {e["path"] for m in (m1, m2) for e in m["buckets"].get(str(b0), [])}
+    assert scanned and scanned <= allowed
+    got = out.collect()
+    assert [(r["url"], r["_change_type"]) for r in got] == [("u0", "delete")]
+
+    # compaction rewrites every bucket's files but no rows -> empty diff
+    t.compact()
+    assert t.read_changes(v2, t.current_version()).count() == 0

@@ -59,6 +59,31 @@ class CommitConflictError(RuntimeError):
     and reclaimed by :meth:`LakeTable.remove_orphans`."""
 
 
+def _stat_key(v):
+    """JSON-encodable, order-preserving encoding of a column-stat value.
+    Timestamps/dates become fixed-width ISO strings (lexicographic order =
+    chronological order); binary and anything else returns None, meaning
+    'no usable bound' — absence of stats can only cost a file read, never
+    correctness."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # two-value domains aren't worth a bound
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        # Parquet writers may truncate long BYTE_ARRAY statistics; a
+        # truncated max is a PREFIX of the true max and would wrongly
+        # prove a file disjoint from a range above it.  Values far under
+        # any truncation threshold are exact — longer ones get no bound.
+        return v if len(v) <= 256 else None
+    if isinstance(v, (int, float)):
+        return v
+    return None
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
@@ -168,7 +193,17 @@ class LakeTable:
         schema: T.StructType,
         key: str = "url",
         n_buckets: int = 64,
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
+        """``stats_cols``: top-level primitive columns whose per-file
+        [min, max] bounds are recorded in the manifest at every data
+        commit (Iceberg manifest column metrics).  :meth:`read_range` on
+        one of these columns then skips files whose bounds prove them
+        disjoint from the requested range — the data-skipping layer
+        UNDER bucket pruning (buckets prune by key equality; stats prune
+        by range on any recorded column, e.g. ``warc_ts`` time slices).
+        Off by default: the flagship replay path's commit tail stays
+        footer-read-free unless a table opts in."""
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
@@ -180,10 +215,11 @@ class LakeTable:
             "n_buckets": n_buckets,
             "schemas": {"0": schema.json()},
             "current_schema_id": 0,
-            "buckets": {},          # bucket_id -> [{path, schema_id}]
+            "buckets": {},          # bucket_id -> [{path, schema_id, stats?}]
             "tombstone_files": [],  # [{path, schema_id? fixed schema}]
             "lineage_files": [],
             "committed_epochs": {},  # source -> last batch id (long)
+            "stats_cols": list(stats_cols or []),
         }
         t._commit_manifest(m)
         return t
@@ -331,6 +367,84 @@ class LakeTable:
             F.lit(m_new["version"]).cast("long").alias("_commit_version"),
         )
 
+    @staticmethod
+    def _collect_stats(path: str, stats_cols: list[str]) -> dict | None:
+        """Per-file [min, max] bounds for ``stats_cols``, read from the
+        parquet FOOTER the write already produced (one metadata read, no
+        data scan) — the local stand-in for Iceberg's write-task column
+        metrics.  A column with any stats-less or non-encodable row group
+        gets no bound (conservative: the file is then never skipped)."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        names = {}
+        for i in range(md.num_columns):
+            names[md.row_group(0).column(i).path_in_schema] = i
+        out = {}
+        for c in stats_cols:
+            i = names.get(c)
+            if i is None:
+                continue
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _stat_key(st.min), _stat_key(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok:
+                out[c] = [lo, hi]
+        return out or None
+
+    def plan_range(
+        self, col: str, lo=None, hi=None, m: dict | None = None
+    ) -> tuple[list[dict], int]:
+        """File-skipping plan for ``col`` ∈ [lo, hi] (either bound may be
+        None = open): returns (surviving file entries, total entries).
+        A file is skipped only when its recorded bounds PROVE it disjoint
+        from the range; files without bounds always survive."""
+        m = m or self.manifest()
+        klo, khi = _stat_key(lo), _stat_key(hi)
+        entries = [e for es in m["buckets"].values() for e in es]
+        kept = []
+        for e in entries:
+            b = (e.get("stats") or {}).get(col)
+            if b is not None and b[0] is not None and b[1] is not None:
+                if klo is not None and b[1] < klo:
+                    continue
+                if khi is not None and b[0] > khi:
+                    continue
+            kept.append(e)
+        return kept, len(entries)
+
+    def read_range(
+        self, col: str, lo=None, hi=None, m: dict | None = None
+    ) -> DataFrame:
+        """Stats-pruned range scan: read only files whose manifest bounds
+        intersect [lo, hi], then apply the exact predicate (bounds prune
+        I/O, never decide membership).  This is the data-skipping layer
+        UNDER bucket pruning — buckets prune by key equality, stats prune
+        by range on any ``stats_cols`` column (e.g. ``warc_ts`` time
+        slices over a table laid out by url-hash).  At 100 TB this is the
+        difference between a time-slice query reading the whole table and
+        reading only the commits that overlap the window."""
+        m = m or self.manifest()
+        kept, _total = self.plan_range(col, lo, hi, m)
+        df = self._read_file_groups(m, kept)
+        if df is None:
+            return self.spark.createDataFrame([], self.schema(m))
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
     def read_tombstones(self, tomb_schema: T.StructType) -> DataFrame:
         m = self.manifest()
         paths = [e["path"] for e in m["tombstone_files"]]
@@ -365,6 +479,25 @@ class LakeTable:
             for f in os.listdir(base)
             if f.endswith(".parquet")
         )
+
+    def _ensure_stats_friendly_writes(self, stats_cols: list[str]) -> None:
+        """Stats tables need footer min/max on every recorded column:
+        INT96 timestamps (Spark's legacy parquet encoding) carry none, so
+        flip the session to TIMESTAMP_MICROS before writing.  Session-wide
+        and sticky by design — MICROS is the non-deprecated encoding and
+        reads back identically."""
+        if stats_cols:
+            self.spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+
+    def _data_entry(self, path: str, sid: int, stats_cols: list[str]) -> dict:
+        e = {"path": path, "schema_id": sid}
+        if stats_cols:
+            s = self._collect_stats(path, stats_cols)
+            if s:
+                e["stats"] = s
+        return e
 
     def overwrite_buckets(
         self,
@@ -407,6 +540,8 @@ class LakeTable:
         if parent_version is None:
             parent_version = m["version"]
         key, nb = m["key"], m["n_buckets"]
+        stats_cols = m.get("stats_cols") or []
+        self._ensure_stats_friendly_writes(stats_cols)
 
         if new_schema is not None and new_schema.json() != m["schemas"][str(m["current_schema_id"])]:
             sid = max(int(k) for k in m["schemas"]) + 1
@@ -474,7 +609,7 @@ class LakeTable:
                     by_bucket[int(sub.split("=", 1)[1])] = self._parquet_files(d, sub)
         for b in touched_buckets:
             files = by_bucket.get(b, [])
-            m["buckets"][str(b)] = [{"path": p, "schema_id": sid} for p in files]
+            m["buckets"][str(b)] = [self._data_entry(p, sid, stats_cols) for p in files]
         if "tomb" in results:
             m["tombstone_files"] += [
                 {"path": p, "schema_id": sid} for p in self._parquet_files(results["tomb"])
@@ -521,6 +656,7 @@ class LakeTable:
         ):
             return m["version"]
         key, nb = m["key"], m["n_buckets"]
+        self._ensure_stats_friendly_writes(m.get("stats_cols") or [])
         d = os.path.join(self.root, "data", f"a-{uuid.uuid4().hex[:12]}")
         (
             new_data.withColumn("_bucket", bucket_expr(key, nb))
@@ -534,12 +670,19 @@ class LakeTable:
             for sub in os.listdir(d):
                 if sub.startswith("_bucket="):
                     by_bucket[int(sub.split("=", 1)[1])] = self._parquet_files(d, sub)
+        # stats are a property of the (immutable) files: compute once,
+        # reuse across CAS retries
+        stats_cols = m.get("stats_cols") or []
+        new_entries = {
+            b: [self._data_entry(p, m["current_schema_id"], stats_cols) for p in files]
+            for b, files in by_bucket.items()
+        }
         for attempt in range(retries + 1):
             m = self.manifest()
             sid = m["current_schema_id"]
-            for b, files in by_bucket.items():
+            for b, entries in new_entries.items():
                 m["buckets"].setdefault(str(b), []).extend(
-                    {"path": p, "schema_id": sid} for p in files
+                    {**e, "schema_id": sid} for e in entries
                 )
             if epoch_source is not None and epoch is not None:
                 if int(epoch) <= int(m["committed_epochs"].get(epoch_source, -1)):

@@ -70,6 +70,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (Spark's legacy default) carries NO parquet min/max
+        # statistics, which kills both the lake's manifest column metrics
+        # and scan-side row-group skipping on warc_ts; TIMESTAMP_MICROS is
+        # the modern encoding every reader understands
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # zstd over default snappy: html payloads compress ~3-5x better, and
         # on a memory-bandwidth-bound node (or tmpfs scratch) every written /
         # re-read byte is bus traffic — trading decompression ALU (which

@@ -365,3 +365,72 @@ def test_read_changes_compaction_invisible_and_bucket_pruned(spark, tmp_path):
     # compaction rewrites every bucket's files but no rows -> empty diff
     t.compact()
     assert t.read_changes(v2, t.current_version()).count() == 0
+
+
+def _rows_at(spark, urls, ts):
+    return spark.createDataFrame(
+        [(u, ts, 1, None, "t", "en", "crawl", "fp") for u in urls],
+        PAGES_SCHEMA,
+    )
+
+
+def test_column_stats_prune_range_reads(spark, tmp_path):
+    """Manifest column metrics (Iceberg data-skipping analog): per-file
+    [min, max] on opted-in columns let read_range skip files whose bounds
+    prove them disjoint from the window — a warc_ts time slice reads only
+    the commits that overlap it, not the whole url-hash-bucketed table."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "ts"), PAGES_SCHEMA, n_buckets=4,
+        stats_cols=["warc_ts"],
+    )
+    jan = datetime(2024, 1, 15)
+    jun = datetime(2024, 6, 15)
+    dec = datetime(2024, 12, 15)
+    t.overwrite_buckets(_rows_at(spark, [f"a{i}" for i in range(20)], jan), list(range(4)))
+    t.append_buckets(_rows_at(spark, [f"b{i}" for i in range(20)], jun))
+    t.append_buckets(_rows_at(spark, [f"c{i}" for i in range(20)], dec))
+
+    m = t.manifest()
+    entries = [e for es in m["buckets"].values() for e in es]
+    assert all("stats" in e and "warc_ts" in e["stats"] for e in entries)
+
+    # a June window must skip every January and December file
+    kept, total = t.plan_range("warc_ts", datetime(2024, 6, 1), datetime(2024, 7, 1))
+    assert total == len(entries) and 0 < len(kept) < total
+    for e in kept:
+        assert e["stats"]["warc_ts"][0].startswith("2024-06")
+
+    got = {r["url"] for r in t.read_range(
+        "warc_ts", datetime(2024, 6, 1), datetime(2024, 7, 1)).collect()}
+    assert got == {f"b{i}" for i in range(20)}
+
+    # open-ended bound + exact predicate still applied on survivors
+    got_hi = {r["url"] for r in t.read_range("warc_ts", lo=dec).collect()}
+    assert got_hi == {f"c{i}" for i in range(20)}
+
+    # tables that never opted in record no stats and never skip
+    t2 = LakeTable.create(spark, str(tmp_path / "nostats"), PAGES_SCHEMA, n_buckets=4)
+    t2.overwrite_buckets(_rows_at(spark, ["x"], jan), list(range(4)))
+    e2 = [e for es in t2.manifest()["buckets"].values() for e in es]
+    assert all("stats" not in e for e in e2)
+    kept2, total2 = t2.plan_range("warc_ts", jun, jun)
+    assert len(kept2) == total2
+
+
+def test_column_stats_survive_compaction_and_cas_retry(spark, tmp_path):
+    """Compaction rewrites file groups -> fresh bounds; an append that
+    loses the CAS re-attaches the SAME immutable files, so its stats ride
+    through the retry unchanged."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "tc"), PAGES_SCHEMA, n_buckets=2,
+        stats_cols=["warc_ts"],
+    )
+    jan = datetime(2024, 1, 15)
+    t.overwrite_buckets(_rows_at(spark, ["a", "b", "c"], jan), [0, 1])
+    t.append_buckets(_rows_at(spark, ["d"], datetime(2024, 3, 1)))
+    t.compact()
+    entries = [e for es in t.manifest()["buckets"].values() for e in es]
+    assert entries and all("warc_ts" in (e.get("stats") or {}) for e in entries)
+    lo = min(e["stats"]["warc_ts"][0] for e in entries)
+    hi = max(e["stats"]["warc_ts"][1] for e in entries)
+    assert lo.startswith("2024-01") and hi.startswith("2024-03")

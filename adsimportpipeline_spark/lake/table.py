@@ -439,10 +439,11 @@ class LakeTable:
         df = self._read_file_groups(m, kept)
         if df is None:
             return self.spark.createDataFrame([], self.schema(m))
+        dt = df.schema[col].dataType  # lit cast: TIMESTAMP vs _NTZ columns
         if lo is not None:
-            df = df.filter(F.col(col) >= F.lit(lo))
+            df = df.filter(F.col(col) >= F.lit(lo).cast(dt))
         if hi is not None:
-            df = df.filter(F.col(col) <= F.lit(hi))
+            df = df.filter(F.col(col) <= F.lit(hi).cast(dt))
         return df
 
     def read_tombstones(self, tomb_schema: T.StructType) -> DataFrame:

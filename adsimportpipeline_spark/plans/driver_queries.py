@@ -2056,6 +2056,88 @@ def q_snapshot_changelog(spark, sf_dir):
     )
 
 
+def q_time_slice_read(spark, sf_dir):
+    """Storage data-skipping check: apply the events-derived change log in
+    two micro-batches into a LakeTable that records per-file warc_ts
+    [min, max] manifest metrics (stats_cols), then read a deterministic
+    mid-window time slice via read_range — the stats-pruned scan that at
+    100 TB reads only the commits overlapping the window.  The oracle
+    recomputes the LWW final state in SQL and applies the identical
+    window predicate, so the row verifies that file skipping by manifest
+    bounds never changes results (bounds prune I/O, the exact predicate
+    decides membership)."""
+    import atexit
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from ..apply import apply_batch, pages_schema_for
+    from ..lake.table import LakeTable
+
+    changes = change_stream_from_events(spark, sf_dir)
+    cut = changes.agg(F.max("log_offset")).first()[0]
+
+    prev = getattr(q_time_slice_read, "_scratch", None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="cdc-timeslice-oracle-")
+    if prev is None:
+        atexit.register(
+            lambda: shutil.rmtree(
+                getattr(q_time_slice_read, "_scratch", root), ignore_errors=True
+            )
+        )
+    q_time_slice_read._scratch = root
+    table = LakeTable.create(
+        spark, root, pages_schema_for(changes.schema), n_buckets=8,
+        stats_cols=["warc_ts"],
+    )
+    half = cut // 2
+    apply_batch(
+        table, changes.filter(F.col("log_offset") <= half), batch_id=0,
+        prune_buckets=False,
+    )
+    apply_batch(
+        table, changes.filter(F.col("log_offset") > half), batch_id=1,
+        prune_buckets=False,
+    )
+    # window bound: the ⌊n/2⌋-th smallest warc_ts of the final state — a
+    # VALUE, so ties at the boundary resolve identically under any sort
+    # order; the oracle computes the same discrete quantile in SQL.  (A
+    # span-fraction window is empty here: LWW winners cluster at the tail
+    # of event time.)  Two bounded scalar actions, oracle-SF only.
+    final = table.read()
+    n = final.count()
+    k = max(1, n // 2)
+    hi = (
+        final.select("warc_ts").orderBy("warc_ts").limit(k)
+        .agg(F.max("warc_ts")).first()[0]
+    )
+    sliced = table.read_range("warc_ts", hi=hi)
+    return sliced.select(
+        "url", "warc_ts", "log_offset", "lang",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+_TIME_SLICE_SQL = f"""
+WITH {_CHANGE_CTE},
+winners AS (
+  SELECT url, warc_ts, log_offset, body, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY url
+      ORDER BY warc_ts DESC, log_offset DESC) AS rn FROM changes)
+  WHERE rn = 1 AND op <> 'delete'),
+w AS (
+  SELECT max(warc_ts) AS hi FROM (
+    SELECT warc_ts, row_number() OVER (ORDER BY warc_ts) AS rnk,
+           count(*) OVER () AS n FROM winners)
+  WHERE rnk <= greatest(n // 2, 1))
+SELECT url, warc_ts, log_offset, lang,
+       md5({extract_text_sql('body')}) AS text_md5
+FROM winners, w WHERE warc_ts <= hi
+"""
+
+
 _CHANGELOG_STATE_SQL = """
   SELECT url, warc_ts, log_offset, lang, md5({text_expr}) AS text_md5 FROM (
     SELECT *, row_number() OVER (PARTITION BY url
@@ -2258,6 +2340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_final_state": q_cdc_final_state,
     "cdc_apply_replay": q_cdc_apply_replay,
     "snapshot_changelog": q_snapshot_changelog,
+    "time_slice_read": q_time_slice_read,
     "multimodal_frames": q_multimodal_frames,
     "lww_latest": q_lww_latest,
     "lww_latest_salted": q_lww_latest_salted,
@@ -2383,6 +2466,7 @@ ORACLES: dict[str, str] = {
     "cdc_final_state": _CDC_FINAL_SQL,
     "cdc_apply_replay": _CDC_FINAL_SQL,
     "snapshot_changelog": _SNAPSHOT_CHANGELOG_SQL,
+    "time_slice_read": _TIME_SLICE_SQL,
 }
 if _AUTHOR_MERGE_SQL is not None:
     ORACLES["author_merge"] = _AUTHOR_MERGE_SQL
@@ -2414,6 +2498,7 @@ DRIVER_REGISTRY: list[str] = [
     "cdc_final_state",
     "cdc_apply_replay",
     "snapshot_changelog",
+    "time_slice_read",
     "multimodal_frames",
     # CDC / merge operator rows (lww_latest_window/_salted/_semi stay in
     # QUERIES + tests; one registry row covers the LWW contract)
@@ -2452,7 +2537,8 @@ DRIVER_REGISTRY: list[str] = [
     "incremental_lsh_pairs",
     "doc_dup_clusters",
     "doc_dedup_survivors",
-    "doc_simhash",
+    # doc_simhash (raw signatures) stays in QUERIES + tests; the _groups
+    # and _pairs rows consume the same signature expression end-to-end
     "doc_simhash_groups",
     "doc_simhash_pairs",
     "lsh_bucket_audit",

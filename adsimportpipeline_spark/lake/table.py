@@ -377,6 +377,8 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
+        if md.num_row_groups == 0:
+            return None
         names = {}
         for i in range(md.num_columns):
             names[md.row_group(0).column(i).path_in_schema] = i

@@ -725,6 +725,62 @@ class LakeTable:
                     raise
         raise AssertionError("unreachable")
 
+    def rescale_buckets(self, new_n_buckets: int, retries: int = 0) -> int:
+        """Change the table's bucket count — the growth path a 100 TB
+        table needs when the bucket geometry chosen at creation stops
+        fitting the data (Iceberg partition-spec evolution analog for a
+        ``bucket(n, key)`` spec).
+
+        One copy-on-write commit: every row is rewritten under
+        ``pmod(xxhash64(key), new_n_buckets)``, epochs / tombstones /
+        lineage / stats_cols carry through unchanged, and readers keep
+        the pre-rescale snapshot via time travel until the flip.  Commit
+        REVALIDATION applies (:class:`CommitConflictError` on a lost
+        race; ``retries`` follows :meth:`compact`'s contract).
+
+        Scale shape: when ``new_n_buckets`` is a MULTIPLE of the current
+        count, the split is LOCAL — ``pmod(h, n) == b`` implies
+        ``pmod(h, k*n) ∈ {b, b+n, …, b+(k-1)n}`` — so each old bucket's
+        rows scatter into exactly k child buckets and a cluster rewrite
+        needs no global shuffle (read bucket-at-a-time, write its k
+        children; buckets split independently, so the job parallelizes
+        and restarts per-bucket).  This local implementation rewrites in
+        one job; the multiplicative property is what makes the same
+        operation incremental on a real cluster."""
+        for attempt in range(retries + 1):
+            m = self.manifest()
+            parent = m["version"]
+            data = self.read()
+            key = m["key"]
+            sid = m["current_schema_id"]
+            self._ensure_stats_friendly_writes(m.get("stats_cols") or [])
+            d = os.path.join(self.root, "data", f"r-{uuid.uuid4().hex[:12]}")
+            (
+                data.withColumn("_bucket", bucket_expr(key, new_n_buckets))
+                .repartition(F.col("_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(d)
+            )
+            stats_cols = m.get("stats_cols") or []
+            buckets: dict[str, list[dict]] = {}
+            if os.path.isdir(d):
+                for sub in os.listdir(d):
+                    if sub.startswith("_bucket="):
+                        buckets[sub.split("=", 1)[1]] = [
+                            self._data_entry(p, sid, stats_cols)
+                            for p in self._parquet_files(d, sub)
+                        ]
+            m["buckets"] = buckets
+            m["n_buckets"] = int(new_n_buckets)
+            m["version"] = parent + 1
+            try:
+                return self._commit_manifest(m, parent_version=parent)
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
+
     def compact_appends(self, retries: int = 0) -> int:
         """Fold the append-only tombstone/lineage branches — one file per
         micro-batch otherwise — into a single file each (Iceberg

@@ -434,3 +434,42 @@ def test_column_stats_survive_compaction_and_cas_retry(spark, tmp_path):
     lo = min(e["stats"]["warc_ts"][0] for e in entries)
     hi = max(e["stats"]["warc_ts"][1] for e in entries)
     assert lo.startswith("2024-01") and hi.startswith("2024-03")
+
+
+def test_rescale_buckets_preserves_state_and_geometry(spark, tmp_path):
+    """Bucket-count growth (Iceberg partition-spec evolution analog): one
+    CoW commit rewrites the layout under the new pmod geometry; rows,
+    epochs, tombstone/lineage branches, column stats, and time travel all
+    survive, and the next apply-path commit picks up the new count from
+    the manifest."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "rs"), PAGES_SCHEMA, n_buckets=4,
+        stats_cols=["warc_ts"],
+    )
+    urls = [f"u{i}" for i in range(40)]
+    t.overwrite_buckets(_rows(spark, urls), list(range(4)),
+                        epoch_source="cdc", epoch=3)
+    v_pre = t.current_version()
+
+    t.rescale_buckets(16)
+    m = t.manifest()
+    assert m["n_buckets"] == 16
+    assert t.last_epoch("cdc") == 3  # bookkeeping carries through
+    assert {r["url"] for r in t.read().collect()} == set(urls)
+    assert t.read(version=v_pre).count() == 40  # time travel intact
+
+    # layout really is the new geometry: every key's rows in its new bucket
+    with_b = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", bucket_expr("url", 16).alias("b")).collect()
+    for bid in {r["b"] for r in with_b}:
+        want = {r["url"] for r in with_b if r["b"] == bid}
+        got = {r["url"] for r in t.read_buckets([bid]).collect()}
+        assert got == want
+
+    # stats recorded on the rewritten files too
+    entries = [e for es in m["buckets"].values() for e in es]
+    assert entries and all("warc_ts" in (e.get("stats") or {}) for e in entries)
+
+    # next commit uses the manifest's new count transparently
+    t.append_buckets(_rows(spark, ["fresh"]), epoch_source="cdc", epoch=4)
+    assert {r["url"] for r in t.read().collect()} == set(urls) | {"fresh"}

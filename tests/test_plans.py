@@ -163,3 +163,30 @@ def test_offset_broadcast_cap_honors_disabled_and_caller_cap(spark):
         assert _offset_broadcast_cap_rows(spark, 100_000_000) == (64 << 20) // 8
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_read_range_pushes_exact_predicate_to_scan(spark, tmp_path):
+    """read_range prunes FILES via manifest bounds, then the exact window
+    predicate must still reach the parquet scan (PushedFilters) so the
+    reader skips row groups inside surviving files too — both layers of
+    data skipping, visible in the plan."""
+    from datetime import datetime
+
+    from adsimportpipeline_spark.lake.table import LakeTable
+    from adsimportpipeline_spark.schema import PAGES_SCHEMA
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "pr"), PAGES_SCHEMA, n_buckets=2,
+        stats_cols=["warc_ts"],
+    )
+    rows = spark.createDataFrame(
+        [(f"u{i}", datetime(2024, 1, 1 + i % 20), 1, None, "t", "en", "c", "f")
+         for i in range(40)],
+        PAGES_SCHEMA,
+    )
+    t.overwrite_buckets(rows, [0, 1])
+    df = t.read_range("warc_ts", datetime(2024, 1, 5), datetime(2024, 1, 10))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "warc_ts" in pushed and ("GreaterThanOrEqual" in pushed or ">=" in pushed)

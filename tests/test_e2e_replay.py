@@ -170,3 +170,31 @@ def test_kill_mid_replay_then_resume(spark, tmp_path, events_and_oracle):
     stats: list = []
     run_replay(spark, log, root, ckpt, max_files_per_trigger=2, collect_stats=stats)
     _assert_state_matches(table, pages, tombs)
+
+
+def test_rescale_mid_replay_matches_oracle(spark, tmp_path, events_and_oracle):
+    """Grow the bucket count between micro-batches (the 100x-table growth
+    path): batches 0-1 apply at 8 buckets, a maintenance rescale_buckets(32)
+    runs, batches 2-4 apply at the manifest's new geometry — final state
+    must still equal the global LWW oracle, with epochs and tombstones
+    carried through the rescale."""
+    df, rows, pages, tombs = events_and_oracle
+    root = str(tmp_path / "tbl_rs")
+    table = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=8,
+                             stats_cols=["warc_ts"])
+    n = SPEC.n_events
+    step = n // 5 + 1
+    for i in range(5):
+        lo, hi = i * step, min((i + 1) * step, n)
+        batch = df.filter((df.log_offset >= lo) & (df.log_offset < hi))
+        apply_batch(table, batch, batch_id=i)
+        if i == 1:
+            table.rescale_buckets(32)
+            assert table.manifest()["n_buckets"] == 32
+            assert table.last_epoch("cdc") == 1  # bookkeeping survives
+    _assert_state_matches(table, pages, tombs)
+    # idempotency holds across the rescale: epoch 1 replays as a no-op
+    v = table.current_version()
+    assert apply_batch(
+        table, df.filter(df.log_offset < step), batch_id=1)["skipped"]
+    assert table.current_version() == v

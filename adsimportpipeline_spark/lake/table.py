@@ -194,6 +194,7 @@ class LakeTable:
         key: str = "url",
         n_buckets: int = 64,
         stats_cols: list[str] | None = None,
+        sort_cols: list[str] | None = None,
     ) -> "LakeTable":
         """``stats_cols``: top-level primitive columns whose per-file
         [min, max] bounds are recorded in the manifest at every data
@@ -203,7 +204,15 @@ class LakeTable:
         UNDER bucket pruning (buckets prune by key equality; stats prune
         by range on any recorded column, e.g. ``warc_ts`` time slices).
         Off by default: the flagship replay path's commit tail stays
-        footer-read-free unless a table opts in."""
+        footer-read-free unless a table opts in.
+
+        ``sort_cols``: sort order WITHIN each bucket's files (Iceberg
+        write-order analog).  Rows of a bucket are sorted by these
+        columns before writing, so parquet row-group statistics on them
+        become tight and a pushed key/range predicate skips most row
+        groups inside a file — the skipping layer UNDER file pruning.
+        Costs an in-partition sort per commit; off by default so the
+        replay hot path is unchanged."""
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
@@ -220,6 +229,7 @@ class LakeTable:
             "lineage_files": [],
             "committed_epochs": {},  # source -> last batch id (long)
             "stats_cols": list(stats_cols or []),
+            "sort_cols": list(sort_cols or []),
         }
         t._commit_manifest(m)
         return t
@@ -562,11 +572,17 @@ class LakeTable:
         # is visible until the single manifest flip below).
         d = os.path.join(self.root, "data", f"c-{uuid.uuid4().hex[:12]}")
 
+        sort_cols = m.get("sort_cols") or []
+
         def _write_main() -> None:
             df = new_data() if callable(new_data) else new_data
             tagged = df.withColumn("_bucket", bucket_expr(key, nb))
             if not pre_partitioned:
                 tagged = tagged.repartition(F.col("_bucket"))
+            if sort_cols:
+                # in-partition sort only — no extra shuffle; tightens
+                # row-group stats so pushed predicates skip within files
+                tagged = tagged.sortWithinPartitions("_bucket", *sort_cols)
             tagged.write.mode("overwrite").partitionBy("_bucket").parquet(d)
 
         # repartition(1), not coalesce(1): coalesce would collapse the whole
@@ -661,13 +677,12 @@ class LakeTable:
         key, nb = m["key"], m["n_buckets"]
         self._ensure_stats_friendly_writes(m.get("stats_cols") or [])
         d = os.path.join(self.root, "data", f"a-{uuid.uuid4().hex[:12]}")
-        (
-            new_data.withColumn("_bucket", bucket_expr(key, nb))
-            .repartition(F.col("_bucket"))
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(d)
+        tagged = new_data.withColumn("_bucket", bucket_expr(key, nb)).repartition(
+            F.col("_bucket")
         )
+        if m.get("sort_cols"):
+            tagged = tagged.sortWithinPartitions("_bucket", *m["sort_cols"])
+        tagged.write.mode("overwrite").partitionBy("_bucket").parquet(d)
         by_bucket: dict[int, list[str]] = {}
         if os.path.isdir(d):
             for sub in os.listdir(d):
@@ -755,13 +770,12 @@ class LakeTable:
             sid = m["current_schema_id"]
             self._ensure_stats_friendly_writes(m.get("stats_cols") or [])
             d = os.path.join(self.root, "data", f"r-{uuid.uuid4().hex[:12]}")
-            (
-                data.withColumn("_bucket", bucket_expr(key, new_n_buckets))
-                .repartition(F.col("_bucket"))
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(d)
-            )
+            tagged = data.withColumn(
+                "_bucket", bucket_expr(key, new_n_buckets)
+            ).repartition(F.col("_bucket"))
+            if m.get("sort_cols"):
+                tagged = tagged.sortWithinPartitions("_bucket", *m["sort_cols"])
+            tagged.write.mode("overwrite").partitionBy("_bucket").parquet(d)
             stats_cols = m.get("stats_cols") or []
             buckets: dict[str, list[dict]] = {}
             if os.path.isdir(d):

@@ -473,3 +473,33 @@ def test_rescale_buckets_preserves_state_and_geometry(spark, tmp_path):
     # next commit uses the manifest's new count transparently
     t.append_buckets(_rows(spark, ["fresh"]), epoch_source="cdc", epoch=4)
     assert {r["url"] for r in t.read().collect()} == set(urls) | {"fresh"}
+
+
+def test_sort_cols_orders_rows_within_bucket_files(spark, tmp_path):
+    """Write-order (Iceberg sort-order analog): with sort_cols=['url'],
+    every data file's rows come out url-sorted, so parquet row-group
+    stats on the key are tight and pushed key predicates skip within
+    files.  Applies to CoW commits, fast-appends, and rescale rewrites."""
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "so"), PAGES_SCHEMA, n_buckets=2,
+        sort_cols=["url"],
+    )
+    import random
+    urls = [f"u{i:04d}" for i in range(200)]
+    random.Random(5).shuffle(urls)
+    t.overwrite_buckets(_rows(spark, urls), [0, 1])
+    t.append_buckets(_rows(spark, [f"v{i:04d}" for i in range(50)][::-1]))
+    t.rescale_buckets(4)
+
+    def _assert_sorted_files():
+        m = t.manifest()
+        entries = [e for es in m["buckets"].values() for e in es]
+        assert entries
+        for e in entries:
+            col = pq.read_table(e["path"], columns=["url"])["url"].to_pylist()
+            assert col == sorted(col), f"unsorted file {e['path']}"
+
+    _assert_sorted_files()
+    assert t.read().count() == 250

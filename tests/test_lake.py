@@ -503,3 +503,43 @@ def test_sort_cols_orders_rows_within_bucket_files(spark, tmp_path):
 
     _assert_sorted_files()
     assert t.read().count() == 250
+
+
+def test_stat_key_encoding_is_order_preserving():
+    """File skipping compares JSON-encoded bounds; the encoding must be
+    order-preserving or a file could be skipped that intersects the
+    window.  Property: for timestamps/dates/numbers/strings, compare of
+    encodings == compare of values; unsupported types encode to None."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adsimportpipeline_spark.lake.table import _stat_key
+
+    base = datetime(2000, 1, 1)
+    ts = st.builds(
+        lambda us: base + timedelta(microseconds=us),
+        st.integers(min_value=0, max_value=10**15),
+    )
+    strs = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x10FFFF,
+                               blacklist_categories=("Cs",)),
+        max_size=64,
+    )
+    nums = st.integers(min_value=-10**12, max_value=10**12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(
+        st.tuples(ts, ts), st.tuples(strs, strs), st.tuples(nums, nums),
+    ))
+    def check(pair):
+        a, b = pair
+        ka, kb = _stat_key(a), _stat_key(b)
+        assert ka is not None and kb is not None
+        assert (ka < kb) == (a < b) and (ka == kb) == (a == b)
+
+    check()
+    assert _stat_key(True) is None and _stat_key(None) is None
+    assert _stat_key(b"bytes") is None
+    assert _stat_key("x" * 1000) is None  # possibly-truncated: no bound

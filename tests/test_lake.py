@@ -543,3 +543,21 @@ def test_stat_key_encoding_is_order_preserving():
     assert _stat_key(True) is None and _stat_key(None) is None
     assert _stat_key(b"bytes") is None
     assert _stat_key("x" * 1000) is None  # possibly-truncated: no bound
+
+
+def test_read_changes_across_rescale_is_net_and_quiet(spark, tmp_path):
+    """Changelog semantics survive partition evolution: a pure rescale
+    rewrites every file group under a new bucket geometry but changes no
+    rows, so read_changes across it diffs to ZERO rows; a rescale plus a
+    real upsert surfaces exactly the upsert."""
+    t = LakeTable.create(spark, str(tmp_path / "crs"), PAGES_SCHEMA, n_buckets=4)
+    t.overwrite_buckets(_rows(spark, ["a", "b", "c"]), list(range(4)))
+    v0 = t.current_version()
+    t.rescale_buckets(16)
+    v1 = t.current_version()
+    assert t.read_changes(v0, v1).count() == 0  # cosmetic rewrite: invisible
+
+    t.append_buckets(_rows(spark, ["d"]))
+    v2 = t.current_version()
+    ch = {(r["url"], r["_change_type"]) for r in t.read_changes(v0, v2).collect()}
+    assert ch == {("d", "insert")}

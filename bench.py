@@ -1099,6 +1099,11 @@ def main() -> None:
             )
         f.write(
             "# BENCH — CDC replay scaling evidence\n\n"
+            "See also BENCH/SCALE10X.md: the same job at 10x input (60M events)\n"
+            "and the 1->4 gate pair at 10x gate input — 0.943 raw / 0.941\n"
+            "steal-adjusted with both legs' pinned steal <= 0.25% of wall (the\n"
+            "per-run serial residue that caps the short standard-size windows\n"
+            "below amortizes away at scale).\n\n"
             "Same job (full change-log replay into a fresh lake table: LWW dedup +\n"
             "tombstones + vectorized HTML->text + copy-on-write commit) on identical\n"
             f"input per geometry ({N_EVENTS:,} events / {N_URLS:,} urls for the\n"

@@ -76,3 +76,71 @@ def test_orphan_deletion_and_replay(spark, tmp_path):
     tiny_feed = spark.createDataFrame([("nope",)], "url string")
     with pytest.raises(RuntimeError):
         delete_orphans(table, tiny_feed, batch_id=2, max_deletions=3)
+
+
+def test_reconcile_schema_properties():
+    """Pure-schema properties of the evolution lattice (no Spark jobs):
+    idempotent, monotone (never narrows), rejects narrowing/renames-as-
+    type-changes, appends new columns nullable in incoming order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import types as T
+
+    from adsimportpipeline_spark.evolve import _WIDENING, reconcile_schema
+
+    prim = st.sampled_from([
+        T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+        T.FloatType(), T.DoubleType(), T.StringType(), T.DateType(),
+        T.TimestampType(), T.BooleanType(), T.BinaryType(),
+    ])
+    names = st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        min_size=1, max_size=6, unique=True,
+    )
+
+    def widens_to(a, b):
+        return a == b or _WIDENING.get((a.typeName(), b.typeName()), False)
+
+    @settings(max_examples=200, deadline=None)
+    @given(names, st.data())
+    def check(cols, data):
+        table = T.StructType([
+            T.StructField(n, data.draw(prim), True) for n in cols
+        ])
+        # incoming: a subset of table cols (possibly widened) + fresh cols
+        inc_fields = []
+        for f in table.fields:
+            if data.draw(st.booleans()):
+                cands = [f.dataType] + [
+                    t for t in (T.LongType(), T.DoubleType(), T.TimestampType())
+                    if widens_to(f.dataType, t)
+                ]
+                inc_fields.append(T.StructField(f.name, data.draw(st.sampled_from(cands)), True))
+        inc_fields.append(T.StructField("zz_new", data.draw(prim), False))
+        incoming = T.StructType(inc_fields)
+
+        evolved = reconcile_schema(table, incoming)
+        # every table column survives, at a type it widens to
+        by_name = {f.name: f for f in evolved.fields}
+        for f in table.fields:
+            assert f.name in by_name and widens_to(f.dataType, by_name[f.name].dataType)
+        # new column appended, nullable regardless of source nullability
+        assert evolved.fields[-1].name == "zz_new" and evolved.fields[-1].nullable
+        # idempotent: reconciling the evolved schema with either input is a no-op
+        assert reconcile_schema(evolved, incoming) == evolved
+        assert reconcile_schema(evolved, table) == evolved
+
+    check()
+
+    # a NARROWER incoming type is compatible — the table keeps its wider
+    # type and incoming data casts up on align (never narrows the table)
+    from pyspark.sql import types as TT
+    t = TT.StructType([TT.StructField("a", TT.LongType(), True)])
+    assert reconcile_schema(
+        t, TT.StructType([TT.StructField("a", TT.IntegerType(), True)])
+    ) == t
+    # genuinely incompatible changes must raise, never silently coerce
+    import pytest
+    for bad in (TT.StringType(), TT.BooleanType(), TT.BinaryType()):
+        with pytest.raises(TypeError):
+            reconcile_schema(t, TT.StructType([TT.StructField("a", bad, True)]))

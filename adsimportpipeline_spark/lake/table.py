@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,15 +65,34 @@ def _stat_key(v):
     Timestamps/dates become fixed-width ISO strings (lexicographic order =
     chronological order); binary and anything else returns None, meaning
     'no usable bound' — absence of stats can only cost a file read, never
-    correctness."""
+    correctness.
+
+    All datetimes are normalized to naive-UTC before encoding: parquet
+    footers for Spark TimestampType carry isAdjustedToUTC=true, so pyarrow
+    hands back tz-AWARE datetimes, while query bounds are usually naive.
+    Python compares the ISO strings lexicographically and an aware
+    rendering ('...+00:00') of the same instant sorts differently from the
+    naive one — without the normalization every stats comparison is off by
+    the tz suffix (and by the full UTC offset when the caller's naive bound
+    was built in a non-UTC wall clock).  Naive inputs are taken as UTC —
+    the engine-wide convention (session.py pins
+    spark.sql.session.timeZone=UTC, so that is also how read_range's
+    ``lit(bound)`` cast interprets them).  Dates are promoted to midnight
+    datetimes so a date bound compares correctly against timestamp-column
+    stats (a bare '2024-06-15' sorting BELOW '2024-06-15T00:00:00' used to
+    skip files whose min equals the bound instant)."""
     import datetime
 
     if isinstance(v, bool) or v is None:
         return None  # two-value domains aren't worth a bound
     if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat(timespec="microseconds")
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return datetime.datetime(v.year, v.month, v.day).isoformat(
+            timespec="microseconds"
+        )
     if isinstance(v, str):
         # Parquet writers may truncate long BYTE_ARRAY statistics; a
         # truncated max is a PREFIX of the true max and would wrongly
@@ -82,6 +102,15 @@ def _stat_key(v):
     if isinstance(v, (int, float)):
         return v
     return None
+
+
+#: aware-rendered ISO timestamp key as emitted by pre-normalization
+#: manifests (pyarrow always renders Spark's UTC-adjusted footers with a
+#: literal '+00:00'); anything matching is ambiguous against today's naive
+#: keys and is treated as no-bound in plan_range
+_LEGACY_AWARE_KEY = re.compile(
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}\+00:00$"
+)
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -424,13 +453,24 @@ class LakeTable:
         m = m or self.manifest()
         klo, khi = _stat_key(lo), _stat_key(hi)
         entries = [e for es in m["buckets"].values() for e in es]
+
+        def usable(k):
+            # manifests written before the naive-UTC normalization carry
+            # aware-rendered ('...+00:00') timestamp keys that no longer
+            # compare against naive query keys; treat them as no-bound
+            # (conservative keep — absence of stats never loses rows)
+            if isinstance(k, str) and _LEGACY_AWARE_KEY.match(k):
+                return None
+            return k
+
         kept = []
         for e in entries:
             b = (e.get("stats") or {}).get(col)
-            if b is not None and b[0] is not None and b[1] is not None:
-                if klo is not None and b[1] < klo:
+            if b is not None:
+                b0, b1 = usable(b[0]), usable(b[1])
+                if klo is not None and b1 is not None and b1 < klo:
                     continue
-                if khi is not None and b[0] > khi:
+                if khi is not None and b0 is not None and b0 > khi:
                     continue
             kept.append(e)
         return kept, len(entries)
@@ -697,11 +737,14 @@ class LakeTable:
         }
         for attempt in range(retries + 1):
             m = self.manifest()
-            sid = m["current_schema_id"]
+            # entries keep their WRITE-time schema_id even across a lost
+            # CAS: if the conflicting commit evolved the schema, these
+            # parquet files were still physically written under the old
+            # one — re-stamping them with the new id would make readers
+            # decode them with a schema they don't carry (align_to_schema
+            # up-casts old-id groups on read; a wrong id bypasses it)
             for b, entries in new_entries.items():
-                m["buckets"].setdefault(str(b), []).extend(
-                    {**e, "schema_id": sid} for e in entries
-                )
+                m["buckets"].setdefault(str(b), []).extend(entries)
             if epoch_source is not None and epoch is not None:
                 if int(epoch) <= int(m["committed_epochs"].get(epoch_source, -1)):
                     return m["version"]  # raced a duplicate delivery

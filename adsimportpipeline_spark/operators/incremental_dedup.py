@@ -123,6 +123,7 @@ def update_lsh_index(
     text_col: str = "text",
     k: int = 8,
     band_size: int = 2,
+    cleanup: list | None = None,
 ) -> DataFrame | None:
     """Index one micro-batch's applied upserts; return the NEW near-dup
     candidate pairs it creates (within-batch ∪ batch-vs-stored), or ``None``
@@ -194,10 +195,18 @@ def update_lsh_index(
         )
         return pairs
     finally:
-        # the append evaluated `rows`; the pair plan re-reads the tiny
-        # cached partitions until the caller finishes with it — unpersist
-        # with blocking=False keeps the data until evaluation completes
-        rows.unpersist(blocking=False)
+        # the persist serves the in-function consumers (touched-bucket
+        # collect + append).  The returned ``pairs`` plan is LAZY: once
+        # unpersisted, evaluating it later recomputes the shingle/sign/band
+        # pipeline (results identical, work doubled).  Callers that consume
+        # the pairs pass a ``cleanup`` list and unpersist after evaluation
+        # (the caller-owned pattern of dedup.lsh_candidate_pairs); callers
+        # that only maintain the index (the replay runners) pass None and
+        # the cache is dropped here.
+        if cleanup is not None:
+            cleanup.append(rows)
+        else:
+            rows.unpersist(blocking=False)
 
 
 def lsh_index_pairs(

@@ -998,6 +998,8 @@ def q_incremental_lsh_pairs(spark, sf_dir):
     same jaccard pass as batch mode.  The oracle is _MINHASH_PAIRS_SQL
     VERBATIM — four rounds of incremental maintenance with supersession
     must land on exactly the answer a full batch recompute gives."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..operators.incremental_dedup import (
@@ -1016,9 +1018,22 @@ def q_incremental_lsh_pairs(spark, sf_dir):
     )
     wave_of = F.pmod(F.xxhash64("url"), F.lit(3))
 
-    index = create_lsh_index(
-        spark, tempfile.mkdtemp(prefix="inclsh-"), n_buckets=8
-    )
+    # at most ONE index table alive across invocations (the _scratch
+    # pattern of q_cdc_apply_replay): drop the previous run's dir, rmtree
+    # the last one at exit
+    prev = getattr(q_incremental_lsh_pairs, "_scratch", None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="inclsh-")
+    if prev is None:
+        atexit.register(
+            lambda: shutil.rmtree(
+                getattr(q_incremental_lsh_pairs, "_scratch", root),
+                ignore_errors=True,
+            )
+        )
+    q_incremental_lsh_pairs._scratch = root
+    index = create_lsh_index(spark, root, n_buckets=8)
     waves = [base.filter(wave_of == w) for w in range(3)]
     # wave 3 re-delivers wave 0's docs (same text) at strictly newer
     # offsets: the old band rows must stop matching the final state and the

@@ -450,6 +450,7 @@ def _machine_character() -> dict:
             a.sum()
         return time.time() - t0
 
+    prev_aff = None
     try:
         prev_aff = os.sched_getaffinity(0)
         os.sched_setaffinity(0, {0})
@@ -498,10 +499,22 @@ def _machine_character() -> dict:
                 p.start()
             for p in ps:
                 p.join()
-            walls = [q.get() for _ in ps]
+            # bounded gets: a child killed before its q.put (OOM/signal in
+            # a contended window) would otherwise block the WHOLE bench
+            # forever — a missing sample is diagnostic noise, a hang is a
+            # lost run
+            import queue as _queue
+
+            walls = []
+            for _ in ps:
+                try:
+                    walls.append(q.get(timeout=30))
+                except _queue.Empty:
+                    break
+            if not walls:
+                raise RuntimeError("no solo-turbo samples")
             return min(walls)
         para = min(_alu_parallel(N_HIGH) for _ in range(2))
-        os.sched_setaffinity(0, prev_aff)
         return {
             "alu_contention_ratio": round(alu_busy / alu_solo, 3),
             "membw_contention_ratio": round(mem_busy / mem_solo, 3),
@@ -510,6 +523,14 @@ def _machine_character() -> dict:
     except Exception:
         return {"alu_contention_ratio": None, "membw_contention_ratio": None,
                 "solo_turbo_ratio": None}
+    finally:
+        # ALWAYS unpin the bench parent: an exception above would otherwise
+        # leave every later-forked child inheriting affinity {0}
+        if prev_aff is not None:
+            try:
+                os.sched_setaffinity(0, prev_aff)
+            except Exception:
+                pass
 
 
 def _steal_ticks() -> int:

@@ -85,10 +85,14 @@ def replayed(spark, tmp_path_factory):
         batch = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
         apply_batch(table, batch, batch_id=i)
         current = table.read().select("url", "warc_ts", "log_offset")
+        owned: list = []  # consume pairs while the band cache is hot
         pairs = update_lsh_index(
-            index, batch_winner_texts(batch), i, pages_current=current
+            index, batch_winner_texts(batch), i, pages_current=current,
+            cleanup=owned,
         )
         emitted[i] = {tuple(r) for r in pairs.collect()}
+        for df in owned:
+            df.unpersist(blocking=False)
     return table, index, emitted
 
 

@@ -181,6 +181,74 @@ def test_two_writer_conflict_rejected_not_last_wins(spark, tmp_path):
     assert {r["url"] for r in a.read().collect()} == {"from-b"}
 
 
+def test_append_racing_schema_evolution_keeps_write_time_schema_id(
+    spark, tmp_path
+):
+    """An append whose parquet files are written BEFORE a concurrent
+    schema-evolving overwrite commits must label those files with the
+    schema they were physically written under, not the commit-time
+    current_schema_id: the files don't carry the widened type, and
+    re-stamping them bypasses align_to_schema's up-cast on read (a
+    widened int->long column then fails parquet decoding)."""
+    import pyspark.sql.types as _T
+
+    scored = _T.StructType(
+        PAGES_SCHEMA.fields + [_T.StructField("score", _T.IntegerType(), True)]
+    )
+    widened = _T.StructType(
+        PAGES_SCHEMA.fields + [_T.StructField("score", _T.LongType(), True)]
+    )
+
+    def rows(schema, urls, score_val):
+        return spark.createDataFrame(
+            [
+                (u, datetime(2024, 1, 1), 1, None, "t", "en", "crawl", "fp",
+                 score_val)
+                for u in urls
+            ],
+            schema,
+        )
+
+    root = str(tmp_path / "ase")
+    t = LakeTable.create(spark, root, scored, n_buckets=4)
+    t.overwrite_buckets(rows(scored, ["seed"], 1), list(range(4)))
+    other = LakeTable.load(spark, root)
+    sid_write = t.manifest()["current_schema_id"]
+
+    # fire the intruder between the append's parquet write (manifest call
+    # #1 fixes the write-time schema) and its commit-loop re-read (call #2)
+    orig_manifest = t.manifest
+    armed = {"calls": 0}
+
+    def racy_manifest(version=None):
+        armed["calls"] += 1
+        if armed["calls"] == 2:
+            other.overwrite_buckets(
+                rows(widened, ["evolved"], 2**40), list(range(4)),
+                new_schema=widened,
+                parent_version=other.current_version(),
+            )
+        return orig_manifest(version)
+
+    t.manifest = racy_manifest
+    t.append_buckets(rows(scored, ["appended"], 7))
+    t.manifest = orig_manifest
+
+    m = t.manifest()
+    assert m["current_schema_id"] != sid_write  # evolution really landed
+    appended = [
+        e
+        for es in m["buckets"].values()
+        for e in es
+        if "/a-" in e["path"]
+    ]
+    assert appended and all(e["schema_id"] == sid_write for e in appended)
+    # the mixed-schema table reads end-to-end: old-id groups up-cast
+    got = {r["url"]: r["score"] for r in t.read().collect()}
+    assert got == {"evolved": 2**40, "appended": 7}
+    assert dict(t.read().dtypes)["score"] == "bigint"
+
+
 def test_compact_retries_absorbs_one_conflict(spark, tmp_path):
     """Maintenance-path retry contract: compact() racing another committer
     raises by default; compact(retries=1) re-plans against the fresh
@@ -408,6 +476,18 @@ def test_column_stats_prune_range_reads(spark, tmp_path):
     got_hi = {r["url"] for r in t.read_range("warc_ts", lo=dec).collect()}
     assert got_hi == {f"c{i}" for i in range(20)}
 
+    # stored stat keys are naive-UTC: parquet footers hand back tz-AWARE
+    # datetimes and the '+00:00' rendering used to sort above the naive
+    # query key for the same instant, so...
+    for e in entries:
+        b = e["stats"]["warc_ts"]
+        assert "+" not in b[0] and "+" not in b[1]
+    # ...BOUNDARY: hi exactly equal to a file's min instant must KEEP that
+    # file (it contains in-range rows) — the aware/naive skew silently
+    # dropped it before the _stat_key normalization
+    got_b = {r["url"] for r in t.read_range("warc_ts", hi=jun).collect()}
+    assert got_b == {f"a{i}" for i in range(20)} | {f"b{i}" for i in range(20)}
+
     # tables that never opted in record no stats and never skip
     t2 = LakeTable.create(spark, str(tmp_path / "nostats"), PAGES_SCHEMA, n_buckets=4)
     t2.overwrite_buckets(_rows_at(spark, ["x"], jan), list(range(4)))
@@ -543,6 +623,31 @@ def test_stat_key_encoding_is_order_preserving():
     assert _stat_key(True) is None and _stat_key(None) is None
     assert _stat_key(b"bytes") is None
     assert _stat_key("x" * 1000) is None  # possibly-truncated: no bound
+
+    # tz-aware footer stats (parquet isAdjustedToUTC=true -> pyarrow hands
+    # back aware datetimes) must encode to the SAME key as the naive-UTC
+    # query bound for the same instant — the '+00:00' suffix used to sort
+    # every aware stat ABOVE its naive twin, skipping files whose min
+    # equals the window's hi bound
+    from datetime import date, timezone
+
+    utc = timezone(timedelta(0))
+    cest = timezone(timedelta(hours=2))
+    naive = datetime(2024, 6, 15, 10, 0, 0)
+    assert _stat_key(naive.replace(tzinfo=utc)) == _stat_key(naive)
+    assert _stat_key(
+        datetime(2024, 6, 15, 12, 0, 0, tzinfo=cest)  # same instant
+    ) == _stat_key(naive)
+    # order preservation across mixed aware/naive encodings (as instants)
+    lo_aware = datetime(2024, 6, 15, 9, 59, 59, tzinfo=utc)
+    assert _stat_key(lo_aware) < _stat_key(naive)
+    # date bounds promote to midnight so they compare correctly against
+    # timestamp-column stats (a bare ISO date sorts BELOW the same day's
+    # midnight timestamp and used to mis-skip boundary files)
+    assert _stat_key(date(2024, 6, 15)) == _stat_key(datetime(2024, 6, 15))
+    assert _stat_key(date(2024, 6, 15)) < _stat_key(
+        datetime(2024, 6, 15, 0, 0, 0, 1)
+    )
 
 
 def test_read_changes_across_rescale_is_net_and_quiet(spark, tmp_path):

@@ -35,23 +35,33 @@ from pyspark.storagelevel import StorageLevel
 
 from .evolve import align_to_schema, reconcile_schema
 from .functions.html import html_to_text
-from .lake.table import LakeTable, bucket_expr
+from .lake.table import CommitConflictError, LakeTable, bucket_expr
 from .operators.cdc import tombstone_guard
 from .operators.lww import lww_dedup, lww_dedup_salted, lww_dedup_semi, lww_winner_rows
 from .schema import LINEAGE_SCHEMA, OP_DELETE, TOMBSTONE_SCHEMA
 
 
+def _text_after_html_fields(
+    fields: list[T.StructField], skip: str
+) -> list[T.StructField]:
+    """THE target-row field order: input fields minus ``skip``, with the
+    derived ``text`` column inserted right after ``html``.  One definition —
+    pages_schema_for and the fused bulk path's Arrow output schema must
+    agree on it exactly."""
+    out: list[T.StructField] = []
+    for f in fields:
+        if f.name == skip:
+            continue
+        out.append(f)
+        if f.name == "html":
+            out.append(T.StructField("text", T.StringType(), True))
+    return out
+
+
 def pages_schema_for(batch_schema: T.StructType) -> T.StructType:
     """Target row schema for a change-event schema: drop ``op``, add ``text``
     right after ``html`` (schema evolution on the stream flows through)."""
-    fields = []
-    for f in batch_schema.fields:
-        if f.name == "op":
-            continue
-        fields.append(f)
-        if f.name == "html":
-            fields.append(T.StructField("text", T.StringType(), True))
-    return T.StructType(fields)
+    return T.StructType(_text_after_html_fields(batch_schema.fields, "op"))
 
 
 def _bulk_upserts(
@@ -97,13 +107,7 @@ def _bulk_upserts(
         n_parts, F.col("_bucket")
     )
 
-    out_fields = []
-    for f in tagged.schema.fields:
-        if f.name == "_bucket":
-            continue
-        out_fields.append(f)
-        if f.name == "html":
-            out_fields.append(T.StructField("text", T.StringType(), True))
+    out_fields = _text_after_html_fields(tagged.schema.fields, "_bucket")
     out_schema = T.StructType(out_fields)
     out_cols = [f.name for f in out_fields]
 
@@ -185,7 +189,7 @@ def apply_batch(
     _caches: list = []
     persisted: list = []
     try:
-        _mark("lineage_stats")
+        _mark("manifest_read")  # time since t0: the manifest open above
 
         # pre-resolved mode: only 'apply' rows flow to the merge; the raw
         # batch is kept for the tombstone audit + lineage stats
@@ -278,9 +282,13 @@ def apply_batch(
                 if prune_buckets and len(touched) < nb:
                     tombs = tombs.filter(bucket_expr(key, nb).isin(touched))
                 appliable = tombstone_guard(appliable, tombs, key)
-            if has_current and appliable is not dedup:
-                # two consumers ahead (anti-join keys + upsert projection);
-                # without stored rows there is only the upsert path — no cache
+            if has_current:
+                # two consumers ahead (anti-join keys + upsert projection)
+                # whenever stored rows exist — including the decision-col
+                # path, where appliable IS dedup (the state store already
+                # proved strictly-newer) but the winner join would still
+                # re-run once per consumer without the cache.  Without
+                # stored rows there is only the upsert path — no cache.
                 appliable = appliable.persist(StorageLevel.MEMORY_AND_DISK)
                 persisted.append(appliable)
 
@@ -371,9 +379,17 @@ def apply_batch(
         # periodic fold of the append-only tombstone/lineage branches keeps
         # per-batch guard reads and the manifest O(1) over the table's
         # lifetime (its own atomic commit; a crash between the two commits
-        # loses only the fold, never data)
+        # loses only the fold, never data).  The fold is COSMETIC: losing a
+        # CAS to a concurrent maintenance job (compact/expire between the
+        # data commit above and here) must not kill the streaming query —
+        # absorb one conflict with a fresh re-plan, and if the table is
+        # racing that hard this trigger just skips; the next scheduled
+        # batch folds everything anyway.
         if compact_appends_every and batch_id % compact_appends_every == compact_appends_every - 1:
-            table.compact_appends()
+            try:
+                table.compact_appends(retries=1)
+            except CommitConflictError:
+                pass
             _mark("compact_appends")
         return {
             "batch_id": batch_id,

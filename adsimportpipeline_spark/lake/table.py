@@ -104,12 +104,16 @@ def _stat_key(v):
     return None
 
 
-#: aware-rendered ISO timestamp key as emitted by pre-normalization
-#: manifests (pyarrow always renders Spark's UTC-adjusted footers with a
-#: literal '+00:00'); anything matching is ambiguous against today's naive
-#: keys and is treated as no-bound in plan_range
+#: stat keys as emitted by pre-normalization manifests: aware-rendered ISO
+#: timestamps (pyarrow always renders Spark's UTC-adjusted footers with a
+#: literal '+00:00') and bare ISO dates (today's date keys are promoted to
+#: midnight datetimes, against which a bare 'YYYY-MM-DD' mis-compares —
+#: it sorts BELOW the same day's midnight rendering).  Anything matching
+#: is ambiguous against today's keys and is treated as no-bound in
+#: plan_range (conservative keep; also forfeits bounds on string columns
+#: holding date-shaped values — a lost optimization, never lost rows)
 _LEGACY_AWARE_KEY = re.compile(
-    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}\+00:00$"
+    r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}\.\d{6}\+00:00)?$"
 )
 
 
@@ -144,7 +148,12 @@ class LakeTable:
             os.fsync(f.fileno())
         os.replace(tmp, path)
 
-    def _commit_manifest(self, m: dict, parent_version: int | None = None) -> int:
+    def _commit_manifest(
+        self,
+        m: dict,
+        parent_version: int | None = None,
+        create_only: bool = False,
+    ) -> int:
         """Publish a manifest at the next free version via a hard-link CAS.
 
         ``os.link(tmp, final)`` fails with EEXIST atomically, so a version
@@ -178,6 +187,14 @@ class LakeTable:
 
         with open(os.path.join(self.root, _COMMIT_LOCK), "w") as lock_f:
             fcntl.flock(lock_f, fcntl.LOCK_EX)
+            if create_only and os.path.exists(
+                os.path.join(self.root, _CURRENT)
+            ):
+                # create racing create: the unlocked exists-probe in
+                # create() is a fast path only; re-checked HERE under the
+                # lock so a concurrent creator can't publish a fresh empty
+                # manifest PAST another writer's committed data/epochs
+                return self.current_version()
             if parent_version is not None:
                 cur = self.current_version()
                 if cur != parent_version:
@@ -246,7 +263,7 @@ class LakeTable:
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
         if os.path.exists(os.path.join(root, _CURRENT)):
-            return t  # already exists; idempotent
+            return t  # already exists; idempotent (fast path, unlocked)
         m = {
             "version": 1,
             "key": key,
@@ -260,7 +277,11 @@ class LakeTable:
             "stats_cols": list(stats_cols or []),
             "sort_cols": list(sort_cols or []),
         }
-        t._commit_manifest(m)
+        # create_only: re-checked under the commit flock — without it two
+        # concurrent creators race the probe above and the loser publishes
+        # an empty manifest AS THE NEWEST VERSION, wiping the winner's
+        # committed rows and resetting committed_epochs (exactly-once gone)
+        t._commit_manifest(m, create_only=True)
         return t
 
     @classmethod

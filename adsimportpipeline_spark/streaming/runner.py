@@ -11,6 +11,7 @@ and the epoch check makes the replay a no-op.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
 
 from ..apply import apply_batch
 from ..lake.table import LakeTable
@@ -27,8 +28,12 @@ def run_replay(
     available_now: bool = True,
     collect_stats: list | None = None,
     lsh_index_root: str | None = None,
-) -> None:
-    """Replay the change log into the lake table; blocks until done.
+) -> StreamingQuery | None:
+    """Replay the change log into the lake table.  With the default
+    ``available_now=True`` it blocks until the log is drained and returns
+    None; with ``available_now=False`` it starts a CONTINUOUS query and
+    returns the live :class:`StreamingQuery` — keep the handle, it is the
+    only way to stop/await the stream.
 
     ``lsh_index_root``: when given, the MinHash-LSH band index
     (:mod:`..operators.incremental_dedup`) is maintained in the same
@@ -85,7 +90,7 @@ def run_replay_stateful(
     available_now: bool = True,
     collect_stats: list | None = None,
     lsh_index_root: str | None = None,
-):
+) -> StreamingQuery | None:
     """State-store replay mode: LWW resolved IN-STREAM with
     ``applyInPandasWithState`` (per-url high-water mark as streaming state),
     the sink applying only 'apply' rows — no stale-filter or tombstone-guard

@@ -3,12 +3,14 @@
 
 The foreachBatch apply path (apply.py) resolves each micro-batch against the
 *stored table* — correct, but every batch pays a table read.  This operator
-keeps the per-url LWW high-water mark ``(warc_ts, log_offset, is_delete)``
-as STREAMING STATE instead, so arbitrarily late or duplicated events are
+keeps the per-url LWW high-water mark ``(warc_ts, log_offset)`` as
+STREAMING STATE instead, so arbitrarily late or duplicated events are
 decided without touching the lake at all: the streaming-native analog of the
 reference's per-record "is this newer than what we have?" check
-(app.py:34-39) — and of its tombstone resurrection guard (app.py:54-67) —
-with state checkpointed by Spark, surviving kill-and-resume.
+(app.py:34-39).  The LWW ordering also subsumes its tombstone resurrection
+guard (app.py:54-67): a post-delete event is 'apply' only if strictly newer
+than the delete, so no separate delete flag is stored.  State is
+checkpointed by Spark, surviving kill-and-resume.
 
 Emitted per input event: ``decision`` in {'apply', 'stale', 'duplicate'}.
 A downstream sink can apply only the 'apply' rows (each already strictly
@@ -27,12 +29,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: per-url state: LWW high-water mark
+#: per-url state: LWW high-water mark.  No delete flag is stored — the LWW
+#: ordering alone provides the resurrection guard (a post-delete event is
+#: 'apply' only if strictly newer than the delete), so the mark is the
+#: entire state.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("max_ts", T.LongType(), True),      # epoch micros
         T.StructField("max_off", T.LongType(), True),
-        T.StructField("deleted", T.BooleanType(), True),
     ]
 )
 
@@ -52,10 +56,11 @@ def _make_decider(passthrough: list[str]):
 
     def _decide_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         url = key[0]
-        if state.exists:
-            max_ts, max_off, deleted = state.get
+        has_state = state.exists
+        if has_state:
+            max_ts, max_off = state.get
         else:
-            max_ts, max_off, deleted = -1, -1, False
+            max_ts, max_off = 0, 0  # placeholders; never compared below
 
         batch = pd.concat(list(pdfs), ignore_index=True)
         ts_us = batch["warc_ts"].astype("int64") // 1000  # pandas ns -> micros
@@ -71,19 +76,27 @@ def _make_decider(passthrough: list[str]):
 
         # in-batch exact re-delivery: equal key to the previous (sorted) row
         dup_in_batch = bts.eq(bts.shift(1)) & boff.eq(boff.shift(1))
-        # exact re-delivery of the cross-batch high-water mark
-        dup_vs_state = (bts == max_ts) & (boff == max_off)
-        # strictly newer than everything seen before this row
-        newer_than_state = (bts > max_ts) | ((bts == max_ts) & (boff > max_off))
+        if has_state:
+            # exact re-delivery of the cross-batch high-water mark
+            dup_vs_state = (bts == max_ts) & (boff == max_off)
+            # strictly newer than everything seen before this row
+            newer_than_state = (bts > max_ts) | (
+                (bts == max_ts) & (boff > max_off)
+            )
+        else:
+            # absence IS the sentinel: a magic (-1, -1) mark would classify
+            # a first-seen pre-1970 timestamp (negative epoch micros) as
+            # 'stale' and silently drop it
+            dup_vs_state = pd.Series(False, index=b.index)
+            newer_than_state = pd.Series(True, index=b.index)
 
         decision = pd.Series("stale", index=b.index)
         decision[newer_than_state.to_numpy()] = "apply"
         decision[(dup_in_batch | dup_vs_state).to_numpy()] = "duplicate"
 
         new_ts, new_off = int(bts.iloc[-1]), int(boff.iloc[-1])
-        if (new_ts, new_off) > (max_ts, max_off):
-            last_op = b["op"].iloc[-1]
-            state.update((new_ts, new_off, bool(last_op == "delete")))
+        if not has_state or (new_ts, new_off) > (max_ts, max_off):
+            state.update((new_ts, new_off))
 
         out = {
             "url": url,

@@ -181,6 +181,42 @@ def test_two_writer_conflict_rejected_not_last_wins(spark, tmp_path):
     assert {r["url"] for r in a.read().collect()} == {"from-b"}
 
 
+def test_create_racing_create_never_wipes_committed_data(spark, tmp_path):
+    """TOCTOU guard: a second creator whose unlocked exists-probe ran
+    before the first creator wrote _CURRENT must NOT publish its fresh
+    empty manifest as the newest version (that would hide committed rows
+    and reset committed_epochs).  The re-check under the commit flock
+    makes the late creator a no-op."""
+    root = str(tmp_path / "ccr")
+    a = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=4)
+    a.overwrite_buckets(_rows(spark, ["seed"]), list(range(4)),
+                        epoch_source="cdc", epoch=5)
+    v = a.current_version()
+
+    # simulate the loser's interleaving: its probe saw no _CURRENT, so it
+    # proceeds straight to the create commit — against a table that now
+    # holds data
+    b = LakeTable.load(spark, root)
+    fresh = {
+        "version": 1,
+        "key": "url",
+        "n_buckets": 4,
+        "schemas": {"0": PAGES_SCHEMA.json()},
+        "current_schema_id": 0,
+        "buckets": {},
+        "tombstone_files": [],
+        "lineage_files": [],
+        "committed_epochs": {},
+        "stats_cols": [],
+        "sort_cols": [],
+    }
+    got = b._commit_manifest(fresh, create_only=True)
+    assert got == v  # no new version published
+    assert a.current_version() == v
+    assert {r["url"] for r in a.read().collect()} == {"seed"}
+    assert a.last_epoch("cdc") == 5
+
+
 def test_append_racing_schema_evolution_keeps_write_time_schema_id(
     spark, tmp_path
 ):

@@ -56,6 +56,45 @@ def test_stateful_lww_matches_oracle(spark, tmp_path):
     assert kinds == {"apply", "stale", "duplicate"}
 
 
+def test_stateful_first_event_pre_epoch_is_applied(spark, tmp_path):
+    """Absence of state is the fresh-url sentinel: a url whose FIRST-ever
+    event carries a pre-1970 warc_ts (negative epoch micros — corrupted or
+    zero-adjusted crawl data) must be 'apply', not 'stale'.  A magic
+    (-1, -1) high-water mark classified it as stale and silently dropped
+    it."""
+    from datetime import datetime, timezone
+
+    from adsimportpipeline_spark.schema import CHANGE_EVENT_SCHEMA
+
+    pre = datetime(1969, 12, 30, tzinfo=timezone.utc).replace(tzinfo=None)
+    post = datetime(1970, 1, 2)
+    rows = [
+        ("u-pre", pre, 1, "insert", b"<p>old</p>", "en", "crawl", "fp1"),
+        ("u-pre", post, 2, "update", b"<p>new</p>", "en", "crawl", "fp2"),
+        ("u-norm", post, 3, "insert", b"<p>x</p>", "en", "crawl", "fp3"),
+    ]
+    log = str(tmp_path / "prelog")
+    spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).write.parquet(log)
+
+    stream = stream_change_log(spark, log, max_files_per_trigger=10)
+    q = (
+        stateful_lww_decisions(stream)
+        .writeStream.format("memory")
+        .queryName("pre_epoch_decisions")
+        .option("checkpointLocation", str(tmp_path / "preckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["url"], r["log_offset"]): r["decision"]
+        for r in spark.sql("SELECT * FROM pre_epoch_decisions").collect()
+    }
+    assert got[("u-pre", 1)] == "apply"   # pre-epoch first sight
+    assert got[("u-pre", 2)] == "apply"   # strictly newer
+    assert got[("u-norm", 3)] == "apply"
+
+
 def test_stateful_replay_kill_and_resume(spark, tmp_path):
     """The FULL state-store replay mode (run_replay_stateful): in-stream LWW
     decisions drive the sink with no stale/guard table joins; an injected

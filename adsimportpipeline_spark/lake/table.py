@@ -758,6 +758,16 @@ class LakeTable:
         }
         for attempt in range(retries + 1):
             m = self.manifest()
+            # a lost CAS against a RESCALE is not retryable: these files
+            # were physically bucketed under pmod(key, nb) — re-attaching
+            # them to same-numbered buckets of a different geometry would
+            # make bucket-pruned reads miss their rows.  Raise regardless
+            # of remaining retries; the caller must re-bucket and re-write.
+            if m["n_buckets"] != nb:
+                raise CommitConflictError(
+                    f"append planned under n_buckets={nb} but the table "
+                    f"was rescaled to {m['n_buckets']}; re-bucket and retry"
+                )
             # entries keep their WRITE-time schema_id even across a lost
             # CAS: if the conflicting commit evolved the schema, these
             # parquet files were still physically written under the old

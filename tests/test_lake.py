@@ -285,6 +285,51 @@ def test_append_racing_schema_evolution_keeps_write_time_schema_id(
     assert dict(t.read().dtypes)["score"] == "bigint"
 
 
+def test_append_racing_rescale_raises_not_misbuckets(spark, tmp_path):
+    """A fast-append whose files were bucketed under the OLD geometry must
+    never re-attach them after a concurrent rescale_buckets lands — bucket
+    id b under pmod(h, 4) holds different keys than b under pmod(h, 16),
+    so bucket-pruned reads would silently miss the appended rows.  The
+    commit loop raises CommitConflictError even with retries remaining
+    (the re-plan needs a re-bucketed WRITE, which appends can't do from
+    already-written files)."""
+    import pytest as _pytest
+
+    from adsimportpipeline_spark.lake.table import CommitConflictError
+
+    root = str(tmp_path / "ars")
+    t = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=4)
+    t.overwrite_buckets(_rows(spark, ["seed"]), list(range(4)))
+    other = LakeTable.load(spark, root)
+
+    # fire the rescale between the append's parquet write (manifest call
+    # #1 fixes nb=4) and its commit-loop re-read (call #2)
+    orig_manifest = t.manifest
+    armed = {"calls": 0}
+
+    def racy_manifest(version=None):
+        armed["calls"] += 1
+        if armed["calls"] == 2:
+            other.rescale_buckets(16)
+        return orig_manifest(version)
+
+    t.manifest = racy_manifest
+    with _pytest.raises(CommitConflictError):
+        t.append_buckets(_rows(spark, ["appended"]), retries=5)
+    t.manifest = orig_manifest
+
+    # the rescale's snapshot is intact; no old-geometry file was attached
+    m = t.manifest()
+    assert m["n_buckets"] == 16
+    assert not any(
+        "/a-" in e["path"] for es in m["buckets"].values() for e in es
+    )
+    assert {r["url"] for r in t.read().collect()} == {"seed"}
+    # the caller's re-plan (a fresh append under the new geometry) works
+    t.append_buckets(_rows(spark, ["appended"]))
+    assert {r["url"] for r in t.read().collect()} == {"seed", "appended"}
+
+
 def test_compact_retries_absorbs_one_conflict(spark, tmp_path):
     """Maintenance-path retry contract: compact() racing another committer
     raises by default; compact(retries=1) re-plans against the fresh

@@ -117,6 +117,48 @@ _LEGACY_AWARE_KEY = re.compile(
 )
 
 
+def _query_key(v, dtype) -> "str | int | float | None":
+    """Stat-key encoding of a CALLER-SUPPLIED range bound.  Differs from
+    :func:`_stat_key` (which encodes trusted parquet-footer values) in two
+    ways, both keep-biased:
+
+    - A STRING bound on a timestamp/date column is parsed and promoted to
+      the same fixed-width ISO key the footers produce.  read_range's exact
+      predicate accepts strings (``lit(bound).cast(dt)``), and the raw
+      string ('2024-06-15 12:00:00', space separator, no fraction) sorts
+      differently from the stored 'T'-separated microsecond rendering —
+      a file whose min equals the bound instant compared ABOVE it and was
+      wrongly pruned.  Promotion is gated on the COLUMN type: the same
+      date-shaped string against a genuinely-string column must compare
+      raw (the stored keys kept their raw shape too).  Unparseable → None.
+    - Any other bound goes through :func:`_stat_key`; type disagreements
+      with stored keys are handled by the comparability guard in
+      plan_range (no bound, never a TypeError)."""
+    import datetime
+
+    from pyspark.sql import types as _T
+
+    if isinstance(v, str) and isinstance(
+        dtype, (_T.TimestampType, _T.TimestampNTZType, _T.DateType)
+    ):
+        try:
+            parsed = datetime.datetime.fromisoformat(v.strip().replace(" ", "T"))
+        except ValueError:
+            return None
+        return _stat_key(parsed)
+    return _stat_key(v)
+
+
+def _keys_comparable(a, b) -> bool:
+    """True iff two stat keys can be ordered without a TypeError: both
+    strings or both numbers.  A mismatched pair (epoch-number bound vs
+    ISO-string timestamp stats, string bound vs numeric stats) yields no
+    pruning — the exact predicate still decides membership."""
+    if isinstance(a, str) and isinstance(b, str):
+        return True
+    return isinstance(a, (int, float)) and isinstance(b, (int, float))
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
@@ -263,7 +305,12 @@ class LakeTable:
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
         if os.path.exists(os.path.join(root, _CURRENT)):
-            return t  # already exists; idempotent (fast path, unlocked)
+            # already exists; idempotent (fast path, unlocked) — but an
+            # EXPLICITLY requested option that disagrees with the existing
+            # table must raise, not silently vanish (a caller expecting
+            # stats-pruned reads would otherwise get full scans forever)
+            t._check_create_options(stats_cols, sort_cols)
+            return t
         m = {
             "version": 1,
             "key": key,
@@ -282,7 +329,32 @@ class LakeTable:
         # an empty manifest AS THE NEWEST VERSION, wiping the winner's
         # committed rows and resetting committed_epochs (exactly-once gone)
         t._commit_manifest(m, create_only=True)
+        # covers the lost-race path too: if another creator won with
+        # different options, this creator's explicit request must not be
+        # silently dropped (winning the race trivially passes the check)
+        t._check_create_options(stats_cols, sort_cols)
         return t
+
+    def _check_create_options(
+        self,
+        stats_cols: list[str] | None,
+        sort_cols: list[str] | None,
+    ) -> None:
+        """Raise when an EXPLICIT create() option disagrees with the
+        existing table's manifest.  ``None`` means "caller didn't ask" and
+        is never checked; create() stays idempotent for option-less reopens
+        (the streaming runners re-call it every start)."""
+        if stats_cols is None and sort_cols is None:
+            return
+        m = self.manifest()
+        for name, want in (("stats_cols", stats_cols), ("sort_cols", sort_cols)):
+            have = list(m.get(name) or [])
+            if want is not None and list(want) != have:
+                raise ValueError(
+                    f"table at {self.root} exists with {name}={have}, "
+                    f"requested {list(want)}; create() never alters an "
+                    "existing table's options"
+                )
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "LakeTable":
@@ -375,7 +447,10 @@ class LakeTable:
         target = self.schema(m_new)
         reserved = {"_change_type", "_commit_version", "_k", "_pre", "_post"}
         clash = reserved & {f.name for f in target.fields}
-        assert not clash, f"table columns collide with changelog columns: {clash}"
+        if clash:  # a raise, not an assert: must survive python -O
+            raise ValueError(
+                f"table columns collide with changelog columns: {sorted(clash)}"
+            )
 
         changed = sorted(
             b
@@ -470,9 +545,17 @@ class LakeTable:
         """File-skipping plan for ``col`` ∈ [lo, hi] (either bound may be
         None = open): returns (surviving file entries, total entries).
         A file is skipped only when its recorded bounds PROVE it disjoint
-        from the range; files without bounds always survive."""
+        from the range; files without bounds always survive.  Bounds whose
+        encoded type cannot be ordered against the stored keys (and string
+        bounds on a time column, which are promoted to the footers' ISO
+        rendering first) degrade to no-pruning, never to a TypeError or a
+        wrong skip."""
         m = m or self.manifest()
-        klo, khi = _stat_key(lo), _stat_key(hi)
+        try:
+            dtype = self.schema(m)[col].dataType
+        except Exception:
+            dtype = None
+        klo, khi = _query_key(lo, dtype), _query_key(hi, dtype)
         entries = [e for es in m["buckets"].values() for e in es]
 
         def usable(k):
@@ -489,9 +572,19 @@ class LakeTable:
             b = (e.get("stats") or {}).get(col)
             if b is not None:
                 b0, b1 = usable(b[0]), usable(b[1])
-                if klo is not None and b1 is not None and b1 < klo:
+                if (
+                    klo is not None
+                    and b1 is not None
+                    and _keys_comparable(b1, klo)
+                    and b1 < klo
+                ):
                     continue
-                if khi is not None and b0 is not None and b0 > khi:
+                if (
+                    khi is not None
+                    and b0 is not None
+                    and _keys_comparable(b0, khi)
+                    and b0 > khi
+                ):
                     continue
             kept.append(e)
         return kept, len(entries)

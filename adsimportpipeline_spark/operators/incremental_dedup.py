@@ -92,6 +92,36 @@ def batch_winner_texts(batch_df: DataFrame, key: str = "url") -> DataFrame:
     )
 
 
+def applied_winner_texts(
+    table: LakeTable, batch_df: DataFrame, key: str = "url"
+) -> DataFrame:
+    """(url, warc_ts, log_offset, text) of the rows a just-committed batch
+    actually LEFT in the pages table — read back from the table instead of
+    re-deriving them from the raw batch.
+
+    :func:`batch_winner_texts` re-runs LWW dedup and the vectorized
+    HTML->text extraction over the whole batch; extraction is the dominant
+    python-worker cost of the apply path, so maintaining the index that way
+    roughly doubles per-batch CPU.  The committed parquet already holds the
+    extracted text: a bucket-pruned read of the batch's touched buckets,
+    column-pruned to four narrow columns (html is never decoded), semi-
+    joined on the batch's (url, warc_ts, log_offset) triples, returns
+    exactly the applied rows.  Rows the table rejected (stale vs stored,
+    tombstoned, LWW losers) are absent by construction — strictly better
+    than indexing them and letting the validity rule drop them later."""
+    m = table.manifest()
+    nb = m["n_buckets"]
+    touched = [
+        r[0]
+        for r in batch_df.select(bucket_expr(key, nb).alias("b")).distinct().collect()
+    ]
+    pages = table.read_buckets(touched, m).select(
+        key, "warc_ts", "log_offset", "text"
+    )
+    triples = batch_df.select(key, "warc_ts", "log_offset").distinct()
+    return pages.join(triples, [key, "warc_ts", "log_offset"], "left_semi")
+
+
 def band_rows(
     upserts: DataFrame,
     key: str = "url",

@@ -52,6 +52,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir(fn, prefix: str) -> str:
+    """Per-query scratch table dir with at most ONE alive across repeated
+    invocations: drop the previous run's dir (its DataFrames are consumed
+    by then), mkdtemp a fresh one, and register a single atexit that
+    rmtrees whichever dir is CURRENT at interpreter exit (the getattr
+    default re-reads ``fn._scratch`` then, not at registration).  Shared
+    by every oracle query that materializes a lake table under /tmp —
+    repeated sweeps must not accumulate abandoned tables."""
+    import atexit
+    import shutil
+    import tempfile
+
+    prev = getattr(fn, "_scratch", None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix=prefix)
+    if prev is None:
+        atexit.register(
+            lambda: shutil.rmtree(
+                getattr(fn, "_scratch", root), ignore_errors=True
+            )
+        )
+    fn._scratch = root
+    return root
+
+
 # =====================================================================
 # CDC core operators on the `events` stream table
 # =====================================================================
@@ -998,10 +1024,6 @@ def q_incremental_lsh_pairs(spark, sf_dir):
     same jaccard pass as batch mode.  The oracle is _MINHASH_PAIRS_SQL
     VERBATIM — four rounds of incremental maintenance with supersession
     must land on exactly the answer a full batch recompute gives."""
-    import atexit
-    import shutil
-    import tempfile
-
     from ..operators.incremental_dedup import (
         create_lsh_index,
         lsh_index_pairs,
@@ -1018,21 +1040,7 @@ def q_incremental_lsh_pairs(spark, sf_dir):
     )
     wave_of = F.pmod(F.xxhash64("url"), F.lit(3))
 
-    # at most ONE index table alive across invocations (the _scratch
-    # pattern of q_cdc_apply_replay): drop the previous run's dir, rmtree
-    # the last one at exit
-    prev = getattr(q_incremental_lsh_pairs, "_scratch", None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="inclsh-")
-    if prev is None:
-        atexit.register(
-            lambda: shutil.rmtree(
-                getattr(q_incremental_lsh_pairs, "_scratch", root),
-                ignore_errors=True,
-            )
-        )
-    q_incremental_lsh_pairs._scratch = root
+    root = _scratch_dir(q_incremental_lsh_pairs, "inclsh-")
     index = create_lsh_index(spark, root, n_buckets=8)
     waves = [base.filter(wave_of == w) for w in range(3)]
     # wave 3 re-delivers wave 0's docs (same text) at strictly newer
@@ -1984,27 +1992,11 @@ def q_cdc_apply_replay(spark, sf_dir):
     tombstone audit, stale filter, copy-on-write commit), then read the
     committed final state back.  Same oracle shape as the flagship — the
     oracle verifies the *storage engine*, not just the expression."""
-    import atexit
-    import shutil
-    import tempfile
-
     from ..apply import apply_batch, pages_schema_for
     from ..lake.table import LakeTable
 
     changes = change_stream_from_events(spark, sf_dir)
-    # at most ONE replay table alive: drop the previous invocation's dir
-    # (its DataFrame is consumed by then) and rmtree the last one at exit
-    prev = getattr(q_cdc_apply_replay, "_scratch", None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="cdc-apply-oracle-")
-    if prev is None:
-        atexit.register(
-            lambda: shutil.rmtree(
-                getattr(q_cdc_apply_replay, "_scratch", root), ignore_errors=True
-            )
-        )
-    q_cdc_apply_replay._scratch = root
+    root = _scratch_dir(q_cdc_apply_replay, "cdc-apply-oracle-")
     # 8 buckets: the oracle SF's change stream is tiny, so bucket count only
     # adds fixed per-file cost here (the bench measures real geometry)
     table = LakeTable.create(
@@ -2027,26 +2019,12 @@ def q_snapshot_changelog(spark, sf_dir):
     the incremental apply path (batch 2's stale-filter + tombstone-guard
     semantics against batch 1's COMMITTED state, not a single-batch replay)
     and the snapshot-diff changelog reader."""
-    import atexit
-    import shutil
-    import tempfile
-
     from ..apply import apply_batch, pages_schema_for
     from ..lake.table import LakeTable
 
     changes = change_stream_from_events(spark, sf_dir)
     cut = changes.agg(F.max("log_offset")).first()[0] // 2  # one scalar
-    prev = getattr(q_snapshot_changelog, "_scratch", None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="cdc-changelog-oracle-")
-    if prev is None:
-        atexit.register(
-            lambda: shutil.rmtree(
-                getattr(q_snapshot_changelog, "_scratch", root), ignore_errors=True
-            )
-        )
-    q_snapshot_changelog._scratch = root
+    root = _scratch_dir(q_snapshot_changelog, "cdc-changelog-oracle-")
     table = LakeTable.create(
         spark, root, pages_schema_for(changes.schema), n_buckets=8
     )
@@ -2081,9 +2059,6 @@ def q_time_slice_read(spark, sf_dir):
     window predicate, so the row verifies that file skipping by manifest
     bounds never changes results (bounds prune I/O, the exact predicate
     decides membership)."""
-    import atexit
-    import shutil
-    import tempfile
     from datetime import datetime, timedelta
 
     from ..apply import apply_batch, pages_schema_for
@@ -2092,17 +2067,7 @@ def q_time_slice_read(spark, sf_dir):
     changes = change_stream_from_events(spark, sf_dir)
     cut = changes.agg(F.max("log_offset")).first()[0]
 
-    prev = getattr(q_time_slice_read, "_scratch", None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="cdc-timeslice-oracle-")
-    if prev is None:
-        atexit.register(
-            lambda: shutil.rmtree(
-                getattr(q_time_slice_read, "_scratch", root), ignore_errors=True
-            )
-        )
-    q_time_slice_read._scratch = root
+    root = _scratch_dir(q_time_slice_read, "cdc-timeslice-oracle-")
     table = LakeTable.create(
         spark, root, pages_schema_for(changes.schema), n_buckets=8,
         stats_cols=["warc_ts"],

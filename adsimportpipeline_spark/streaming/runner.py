@@ -50,7 +50,7 @@ def run_replay(
     index = None
     if lsh_index_root is not None:
         from ..operators.incremental_dedup import (
-            batch_winner_texts,
+            applied_winner_texts,
             create_lsh_index,
             update_lsh_index,
         )
@@ -60,11 +60,13 @@ def run_replay(
     def _apply(batch_df, batch_id):
         stats = apply_batch(table, batch_df, batch_id, salted=salted)
         if index is not None:
-            # post-LWW upserts only; a winner the table's stale-filter
-            # rejected still lands in the index but never matches the pages
-            # table, so the append-only validity rule drops it — no need to
-            # thread apply_batch's exact applied set through
-            update_lsh_index(index, batch_winner_texts(batch_df), batch_id)
+            # index the rows the commit actually applied, read BACK from
+            # the table (bucket-pruned, html never decoded) — re-deriving
+            # winners from the raw batch would re-run LWW + the HTML->text
+            # extraction, roughly doubling per-batch python-worker cost
+            update_lsh_index(
+                index, applied_winner_texts(table, batch_df), batch_id
+            )
         if collect_stats is not None:
             collect_stats.append(stats)
 
@@ -118,7 +120,7 @@ def run_replay_stateful(
     index = None
     if lsh_index_root is not None:
         from ..operators.incremental_dedup import (
-            batch_winner_texts,
+            applied_winner_texts,
             create_lsh_index,
             update_lsh_index,
         )
@@ -133,8 +135,14 @@ def run_replay_stateful(
         )
         stats = apply_batch(table, pruned, batch_id, decision_col="decision")
         if index is not None:
+            # read the applied rows back from the committed table rather
+            # than re-running LWW + extraction over the batch (see
+            # run_replay); the semi-join on this batch's triples never
+            # matches state-rejected rows — they were never applied
             update_lsh_index(
-                index, batch_winner_texts(batch_df.drop("decision")), batch_id
+                index,
+                applied_winner_texts(table, batch_df.drop("decision")),
+                batch_id,
             )
         if collect_stats is not None:
             collect_stats.append(stats)

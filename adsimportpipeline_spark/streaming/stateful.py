@@ -33,6 +33,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 #: ordering alone provides the resurrection guard (a post-delete event is
 #: 'apply' only if strictly newer than the delete), so the mark is the
 #: entire state.
+#:
+#: COMPATIBILITY: this schema once carried a third ``deleted`` field; the
+#: state store pins its schema at checkpoint creation (stateSchemaCheck),
+#: so a checkpoint written by that build cannot resume under this one —
+#: Spark refuses the query with StateSchemaNotCompatible.  Upgrading a
+#: live deployment means a NEW checkpoint dir and a log replay from the
+#: start (exactly-once makes the replay a no-op against the lake table);
+#: never edit this struct casually.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("max_ts", T.LongType(), True),      # epoch micros

@@ -578,6 +578,71 @@ def test_column_stats_prune_range_reads(spark, tmp_path):
     assert len(kept2) == total2
 
 
+def test_range_bounds_of_other_shapes_never_lose_rows(spark, tmp_path):
+    """Caller-supplied bounds the stored stat keys can't directly order
+    against must degrade to keep-the-file, never to a wrong skip or a
+    TypeError.  Three shapes: a STRING bound on a timestamp column (the
+    exact predicate accepts it via lit().cast(), but the raw string sorts
+    differently from the footers' 'T'-separated microsecond keys — it is
+    promoted to that rendering first), an unparseable string, and a
+    number bound against string keys (no ordering: no pruning at all)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "qb"), PAGES_SCHEMA, n_buckets=4,
+        stats_cols=["warc_ts"],
+    )
+    jan = datetime(2024, 1, 15)
+    jun = datetime(2024, 6, 15)
+    t.overwrite_buckets(_rows_at(spark, [f"a{i}" for i in range(10)], jan), list(range(4)))
+    t.append_buckets(_rows_at(spark, [f"b{i}" for i in range(10)], jun))
+    entries = [e for es in t.manifest()["buckets"].values() for e in es]
+
+    # BOUNDARY via string: hi == a June file's min instant, space-separated
+    # and fraction-less.  Raw comparison sorted the stored key above the
+    # bound and pruned the file; promotion keeps it.
+    got = {r["url"] for r in t.read_range("warc_ts", hi="2024-06-15 00:00:00").collect()}
+    assert got == {f"a{i}" for i in range(10)} | {f"b{i}" for i in range(10)}
+    # and the promoted key still PRUNES when it can (June window skips Jan)
+    kept, total = t.plan_range("warc_ts", "2024-06-01 00:00:00", "2024-07-01 00:00:00")
+    assert total == len(entries) and 0 < len(kept) < total
+
+    # unparseable string on a time column: plans keep everything (the
+    # exact predicate would reject it downstream; planning never throws)
+    kept2, total2 = t.plan_range("warc_ts", lo="not a timestamp")
+    assert len(kept2) == total2
+
+    # numeric bound vs string stat keys: incomparable, no pruning, no crash
+    kept3, total3 = t.plan_range("warc_ts", hi=1718236800)
+    assert len(kept3) == total3
+
+
+def test_create_option_mismatch_raises_not_silently_ignored(spark, tmp_path):
+    """Re-creating an existing table with EXPLICIT stats_cols/sort_cols
+    that disagree with the manifest must raise — a caller expecting
+    stats-pruned reads would otherwise silently get full scans forever.
+    Option-less reopens (None) stay idempotent: the streaming runners
+    re-call create() on every start."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "opt")
+    LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=4)
+    # idempotent reopen without options: fine
+    t = LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=4)
+    assert t.manifest()["stats_cols"] == []
+    # explicit disagreeing options: loud failure
+    with _pytest.raises(ValueError, match="stats_cols"):
+        LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=4,
+                         stats_cols=["warc_ts"])
+    with _pytest.raises(ValueError, match="sort_cols"):
+        LakeTable.create(spark, root, PAGES_SCHEMA, n_buckets=4,
+                         sort_cols=["url"])
+    # explicit AGREEING options: still idempotent
+    root2 = str(tmp_path / "opt2")
+    LakeTable.create(spark, root2, PAGES_SCHEMA, n_buckets=4,
+                     stats_cols=["warc_ts"], sort_cols=["url"])
+    LakeTable.create(spark, root2, PAGES_SCHEMA, n_buckets=4,
+                     stats_cols=["warc_ts"], sort_cols=["url"])
+
+
 def test_column_stats_survive_compaction_and_cas_retry(spark, tmp_path):
     """Compaction rewrites file groups -> fresh bounds; an append that
     loses the CAS re-attaches the SAME immutable files, so its stats ride

@@ -420,12 +420,26 @@ def embedding_near_dups_lsh(
     Scale shape: the self-join is per-(table, bucket) — the corpus never
     cross-joins, each bucket joins only itself, and adding tables multiplies
     candidate volume linearly while recall loss decays exponentially.
-    """
-    from .similarity import cosine_expr, lsh_bucket
 
+    Candidate generation is payload-light: only ``(id, bucket)`` rows enter
+    the bucket self-join and the cross-table dedup, so the exchanges carry
+    ~16 bytes per candidate instead of two ``dim``-wide vectors (which made
+    the dedup a Sort+SortAggregate over gigabytes once buckets grew — the
+    quadratic candidate volume is inherent to LSH, the payload copies were
+    not).  Vectors are re-attached per SIDE after the dedup by joining the
+    corpus twice — two joins proportional to corpus + candidates, not to
+    candidates x vector width.
+    """
+    from .similarity import dot_expr, norm_expr
+
+    # a small corpus often arrives as ONE scan split; every stage below
+    # (bucket Generate, the bucket join whose output inherits the probe
+    # side's partitioning, the map-side half of the dedup) would then run
+    # in a single task while the quadratic candidate volume grows — fan
+    # out once, here, before any per-row work (no-op at production scale)
+    df = fan_out_narrow_scan(df)
     stacked = df.select(
         F.col(id_col),
-        F.col(vec_col).alias("_v"),
         F.explode(
             F.array(*[
                 # table t gets its own independent plane set via plane-index
@@ -435,16 +449,48 @@ def embedding_near_dups_lsh(
             ])
         ).alias("_tb"),
     )
-    a = stacked.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"), "_tb")
-    b = stacked.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"), "_tb")
+    a = stacked.select(F.col(id_col).alias("id_a"), "_tb")
+    b = stacked.select(F.col(id_col).alias("id_b"), "_tb")
     cand = (
         a.join(b, ["_tb"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # norms ride along with the vectors: computed once per corpus row at
+    # attach time instead of once per candidate pair side (the norm is a
+    # 64-element interpreted fold — per-pair it dominated the verify CPU).
+    # Same expression on the same values in the same multiply order, so
+    # cosine stays bit-identical to cosine_expr.
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col), norm_expr(vec_col).alias("_n")
+    )
+    cand = (
+        cand.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("va"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+    )
     return (
-        cand.select("id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cosine"))
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_expr("va", "vb") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

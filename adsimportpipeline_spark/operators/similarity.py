@@ -42,15 +42,34 @@ def brute_force_topk(
     scale, so the join is a broadcast nested loop with no shuffle of the big
     corpus; only the scored candidates shuffle for the per-query top-k.
     """
+    from .dedup import fan_out_narrow_scan
+
+    # norms are computed ONCE per query row / corpus row before the join
+    # (same expression, same values, same multiply order — bit-identical
+    # cosine) instead of once per (query, vector) pair, and the corpus scan
+    # is fanned out first: a single-file corpus otherwise runs the whole
+    # O(q x n) scoring loop in one task (no-op at production scale).
     q = F.broadcast(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            norm_expr(vec_col).alias("_qn"),
+        )
     )
-    scored = vectors.select(F.col(id_col), F.col(vec_col).alias("_v")).crossJoin(q)
+    scored = (
+        fan_out_narrow_scan(vectors.select(F.col(id_col), F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            norm_expr(vec_col).alias("_vn"),
+        )
+        .crossJoin(q)
+    )
     scored = scored.select(
         query_id_col,
         id_col,
         F.round(
-            dot_expr("_qv", "_v") / (norm_expr("_qv") * norm_expr("_v")), 6
+            dot_expr("_qv", "_v") / (F.col("_qn") * F.col("_vn")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -293,6 +312,9 @@ def ivf_ann_topk(
         )
         centroids = [list(r[vec_col]) for r in rows]
 
+    from .dedup import fan_out_narrow_scan
+
+    vectors = fan_out_narrow_scan(vectors)
     if cell_col is not None:
         # the corpus already carries its materialized cell id (the at-rest
         # cluster key — see assign_ivf_cells): the n_lists-cosine
@@ -325,14 +347,19 @@ def ivf_ann_topk(
     q0 = (
         qs.withColumn("_pr", F.row_number().over(wprobe))
         .filter(F.col("_pr") <= n_probe)
-        .select(query_id_col, "_qv", F.col("_c").alias("_cell"))
+        .select(
+            query_id_col, "_qv", F.col("_c").alias("_cell"),
+            norm_expr("_qv").alias("_qn"),
+        )
     )
-    cand = vb.join(F.broadcast(q0), "_cell")
+    # norms once per corpus row / probe row, not per candidate pair (same
+    # expression and multiply order as cosine_expr — bit-identical scores)
+    cand = vb.withColumn("_vn", norm_expr("_v")).join(F.broadcast(q0), "_cell")
     scored = cand.select(
         query_id_col,
         id_col,
         F.round(
-            dot_expr("_qv", "_v") / (norm_expr("_qv") * norm_expr("_v")), 6
+            dot_expr("_qv", "_v") / (F.col("_qn") * F.col("_vn")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -377,10 +404,19 @@ def lsh_ann_topk(
             bucket = bucket + hyperplane_expr(vec_col, t * n_planes + i, dim) * F.lit(2**i)
         return bucket.cast("int")
 
-    # one row per (vector, table): bucket ids namespaced by table
+    # one row per (vector, table): bucket ids namespaced by table.
+    # Candidate generation is payload-light (ids + bucket only): the
+    # bucket join and the cross-table dedup never carry the vectors, so
+    # dedup is a HashAggregate over ~16-byte rows instead of a sort over
+    # (vector, query-vector) pairs; both vector payloads are re-attached
+    # AFTER the dedup (corpus join + broadcast query join) — each vector
+    # crosses the network once per surviving candidate side, not once per
+    # (table x probe) pre-dedup hit.
+    from .dedup import fan_out_narrow_scan
+
+    vectors = fan_out_narrow_scan(vectors)
     vb = vectors.select(
         F.col(id_col),
-        F.col(vec_col).alias("_v"),
         F.explode(
             F.array(*[
                 F.concat(F.lit(f"{t}:"), _table_bucket(t).cast("string"))
@@ -397,7 +433,6 @@ def lsh_ann_topk(
         probe_cols += [F.concat(F.lit(f"{t}:"), p.cast("int").cast("string")) for p in probes]
     q0 = queries.select(
         F.col(query_id_col),
-        F.col(vec_col).alias("_qv"),
         F.explode(F.array(*probe_cols)).alias("_tb"),
     )
     qb = F.broadcast(q0)
@@ -405,10 +440,30 @@ def lsh_ann_topk(
         vb.join(qb, "_tb")
         .dropDuplicates([query_id_col, id_col])
     )
+    # norms computed once per vector at attach time (not per candidate
+    # pair); same expression/order as cosine_expr, so scores stay
+    # bit-identical
+    cand = cand.join(
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            norm_expr(vec_col).alias("_vn"),
+        ),
+        id_col,
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col),
+                F.col(vec_col).alias("_qv"),
+                norm_expr(vec_col).alias("_qn"),
+            )
+        ),
+        query_id_col,
+    )
     scored = cand.select(
         query_id_col,
         id_col,
-        F.round(dot_expr("_qv", "_v") / (norm_expr("_qv") * norm_expr("_v")), 6).alias("cosine"),
+        F.round(dot_expr("_qv", "_v") / (F.col("_qn") * F.col("_vn")), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -206,6 +206,17 @@ def jaccard_verify(
     if not assume_distinct:
         shingles = shingles.select(id_col, "shingle").distinct()
         pairs = pairs.select("id_a", "id_b").distinct()
+    # semi-join prune (guide §3.2): every downstream join is inner on ids
+    # drawn from ``pairs``, so shingles of docs in NO candidate pair can be
+    # dropped before any wide exchange — the (id, shingle) shuffles then
+    # carry only candidate docs' shingles (~pairs-proportional) instead of
+    # the whole corpus's.  Result-identical by construction.
+    pair_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingles = shingles.join(pair_ids, id_col, "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -241,17 +252,31 @@ def minhash_dedup_pairs(
 
     ``cleanup``: when a list is passed, the shingle frame is persisted and
     appended for the CALLER to unpersist after its action (the lww cleanup
-    convention — operators/lww.py).  Without one, nothing is persisted: the
-    shingle subtree appears multiple times in the one plan and its distinct
-    shuffle is shared via ReusedExchange, so a long-lived session can never
-    leak pinned storage from this operator."""
+    convention — operators/lww.py).  Pass one whenever the input is not
+    trivially re-scannable: the shingle subtree appears FIVE times in the
+    one plan (both band-join sides via the signatures, the two
+    intersection sides, the size aggregate), and exchange reuse does NOT
+    dedupe them — the join sides acquire pushed-down isnotnull filters
+    the aggregate side lacks, so the subtrees differ and each re-runs the
+    full tokenize+shingle+distinct pipeline (measured 5x the scan+regex
+    cost at sf1.0).  Without a cleanup list nothing is persisted, so a
+    long-lived session can never leak pinned storage from this operator."""
     sh = word_shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, id_col, k)
     if cleanup is not None:
+        # sh: 5 plan consumers (see docstring).  sigs: both sides of the
+        # band self-join (the broadcast build side defeats exchange reuse,
+        # so the k-md5s-per-shingle aggregation would run twice).  pairs:
+        # re-derived inside the verify otherwise.  All three are rows-per-
+        # doc or smaller except sh — the caller unpersists via ``cleanup``.
         sh = sh.persist()
+        sigs = minhash_signatures(sh, id_col, k).persist()
         cleanup.append(sh)
-    pairs = lsh_candidate_pairs(
-        minhash_signatures(sh, id_col, k), id_col, k, band_size, bucket_cap=bucket_cap
-    )
+        cleanup.append(sigs)
+    pairs = lsh_candidate_pairs(sigs, id_col, k, band_size, bucket_cap=bucket_cap)
+    if cleanup is not None:
+        pairs = pairs.persist()
+        cleanup.append(pairs)
     return jaccard_verify(pairs, sh, id_col, threshold)
 
 
@@ -379,7 +404,7 @@ def embedding_near_dups(
     input is not a plain file scan the bound is unknown and the caller is
     trusted — the guard is best-effort, the LSH path is the default.)"""
     from .lww import _metadata_row_upper_bound
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, norm_expr
 
     ub = _metadata_row_upper_bound(df)
     if ub is not None and ub > max_rows:
@@ -389,11 +414,29 @@ def embedding_near_dups(
             f"embedding_near_dups_lsh for large tables, or raise max_rows "
             f"explicitly if you really mean it."
         )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # fan out the (often single-split) left side so the O(n^2) comparison
+    # loop parallelizes, and compute each side's norm once per row instead
+    # of once per pair (same expression/multiply order as cosine_expr —
+    # bit-identical results)
+    a = fan_out_narrow_scan(df).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(vec_col).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(vec_col).alias("_nb"),
+    )
     j = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        j.select("id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cosine"))
+        j.select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_expr("va", "vb") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -206,17 +206,6 @@ def jaccard_verify(
     if not assume_distinct:
         shingles = shingles.select(id_col, "shingle").distinct()
         pairs = pairs.select("id_a", "id_b").distinct()
-    # semi-join prune (guide §3.2): every downstream join is inner on ids
-    # drawn from ``pairs``, so shingles of docs in NO candidate pair can be
-    # dropped before any wide exchange — the (id, shingle) shuffles then
-    # carry only candidate docs' shingles (~pairs-proportional) instead of
-    # the whole corpus's.  Result-identical by construction.
-    pair_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    shingles = shingles.join(pair_ids, id_col, "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -252,31 +241,22 @@ def minhash_dedup_pairs(
 
     ``cleanup``: when a list is passed, the shingle frame is persisted and
     appended for the CALLER to unpersist after its action (the lww cleanup
-    convention — operators/lww.py).  Pass one whenever the input is not
-    trivially re-scannable: the shingle subtree appears FIVE times in the
-    one plan (both band-join sides via the signatures, the two
-    intersection sides, the size aggregate), and exchange reuse does NOT
-    dedupe them — the join sides acquire pushed-down isnotnull filters
-    the aggregate side lacks, so the subtrees differ and each re-runs the
-    full tokenize+shingle+distinct pipeline (measured 5x the scan+regex
-    cost at sf1.0).  Without a cleanup list nothing is persisted, so a
-    long-lived session can never leak pinned storage from this operator."""
+    convention — operators/lww.py).  Pass one only when the INPUT is
+    expensive to recompute (not a plain scan): the shingle subtree appears
+    five times in the one plan (both band-join sides via the signatures,
+    the two intersection sides, the size aggregate) and exchange reuse
+    does NOT dedupe them — but for scan-rooted inputs the five branches
+    are independent stages the scheduler runs CONCURRENTLY, and measured
+    at sf1.0/local[32] that redundant-but-parallel recompute (6.8s) beats
+    caching the 2.6M-row shingle table and serializing every consumer
+    through the memory store (9.6s) — so the default stays unpersisted."""
     sh = word_shingles(df, id_col, text_col, n)
-    sigs = minhash_signatures(sh, id_col, k)
     if cleanup is not None:
-        # sh: 5 plan consumers (see docstring).  sigs: both sides of the
-        # band self-join (the broadcast build side defeats exchange reuse,
-        # so the k-md5s-per-shingle aggregation would run twice).  pairs:
-        # re-derived inside the verify otherwise.  All three are rows-per-
-        # doc or smaller except sh — the caller unpersists via ``cleanup``.
         sh = sh.persist()
-        sigs = minhash_signatures(sh, id_col, k).persist()
         cleanup.append(sh)
-        cleanup.append(sigs)
-    pairs = lsh_candidate_pairs(sigs, id_col, k, band_size, bucket_cap=bucket_cap)
-    if cleanup is not None:
-        pairs = pairs.persist()
-        cleanup.append(pairs)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(sh, id_col, k), id_col, k, band_size, bucket_cap=bucket_cap
+    )
     return jaccard_verify(pairs, sh, id_col, threshold)
 
 

@@ -1007,25 +1007,14 @@ def q_doc_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs (band=2, jaccard verify >= 0.05), with the
     hot-bucket cap that keeps a boilerplate bucket from going quadratic.
 
-    The shingle frame is persisted for the duration of the run (the plan
-    consumes it five times and exchange reuse does not fire across the
-    differently-filtered subtrees — see minhash_dedup_pairs); the previous
-    invocation's cache is unpersisted on re-entry, mirroring _scratch_dir's
-    at-most-one-alive rotation, so repeated bench/test sweeps never pin
-    more than one shingle table."""
-    prev = getattr(q_doc_minhash_pairs, "_cleanup", None)
-    if prev:
-        for c in prev:
-            try:
-                c.unpersist()
-            except Exception:
-                pass
-    cl: list = []
-    q_doc_minhash_pairs._cleanup = cl
+    Deliberately UNPERSISTED: the five shingle-subtree consumers are
+    independent scan-rooted stages the scheduler runs concurrently; an r06
+    A/B under the bench conf measured every persist variant slower (see
+    minhash_dedup_pairs' docstring)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, k=8, band_size=2, threshold=0.05,
-        bucket_cap=LSH_BUCKET_CAP, cleanup=cl,
+        bucket_cap=LSH_BUCKET_CAP,
     )
 
 

@@ -36,7 +36,17 @@ def main() -> None:
     from adsimportpipeline_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    spark = get_spark("bench-extra", master=f"local[{cpus}]")
+    # same conf as bench.py's _fresh_spark queries child, for comparability
+    spark = get_spark(
+        "bench-extra",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(2 * 1024 * 1024),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     # same headline set as bench.py (order preserved)

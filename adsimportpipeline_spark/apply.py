@@ -158,6 +158,7 @@ def apply_batch(
     prune_buckets: bool = True,
     compact_appends_every: int = 32,
     decision_col: str | None = None,
+    keep_applied: list | None = None,
 ) -> dict:
     """Apply one micro-batch of change events. Returns stats. Idempotent:
     re-delivery of an already-committed batch_id is a no-op.
@@ -170,7 +171,17 @@ def apply_batch(
     skipped entirely (the operator's whole point: per-batch work stays
     proportional to the batch, not the table).  The tombstone audit still
     sees EVERY delete delivery, resolved or not (reference app.py:15-21
-    appends every delete)."""
+    appends every delete).
+
+    ``keep_applied``: when a list is passed, the applied-upserts frame
+    (post stale-filter/guard, WITH extracted ``text``) is persisted and
+    appended to it instead of being torn down — the caller owns the
+    unpersist.  A derived-index maintainer (update_lsh_index) can then
+    consume the rows this batch actually applied at O(batch) cost with no
+    table read-back and no second HTML->text extraction: the write job
+    materializes the cache, the index reads it.  Empty when the batch was
+    an epoch no-op (caller falls back to a table read for that
+    crash-recovery case)."""
     if batch_id <= table.last_epoch(epoch_source):
         return {"batch_id": batch_id, "skipped": True}
 
@@ -238,7 +249,14 @@ def apply_batch(
             # as a thunk: the winner-offset collect inside it (a full
             # narrow scan) then runs in overwrite_buckets' pool thread,
             # overlapping the tombstone/lineage append jobs.
-            new_data = lambda: _bulk_upserts(resolved, key, nb, evolved, _caches)  # noqa: E731
+            if keep_applied is not None:
+                def new_data() -> DataFrame:
+                    df = _bulk_upserts(resolved, key, nb, evolved, _caches)
+                    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                    keep_applied.append(df)
+                    return df
+            else:
+                new_data = lambda: _bulk_upserts(resolved, key, nb, evolved, _caches)  # noqa: E731
             pre_partitioned = True
         else:
             pre_partitioned = False
@@ -298,6 +316,9 @@ def apply_batch(
                 .withColumn("text", html_to_text(F.col("html")))
             )
             upserts = align_to_schema(upserts, evolved)
+            if keep_applied is not None:
+                upserts = upserts.persist(StorageLevel.MEMORY_AND_DISK)
+                keep_applied.append(upserts)
 
             # 5. copy-on-write: survivors of touched buckets + applied upserts
             if has_current:

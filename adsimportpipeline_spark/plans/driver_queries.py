@@ -898,10 +898,17 @@ def q_top_revenue_orders(spark, sf_dir):
         F.col("l_extendedprice").cast("decimal(12,2)")
         * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
     ).cast("decimal(24,6)")
-    j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # join order: customer-filter orders FIRST (broadcast the small
+    # filtered customer side), then broadcast the ~1/5-selectivity result
+    # to the lineitem probe — the big scan joins against one ~5 MB hash
+    # relation instead of the full 1.5M-row orders table (guide §3.1; the
+    # inner joins commute and decimal sums are exact, so the result is
+    # value-identical)
+    o = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_orderdate")
     )
+    j = li.join(F.broadcast(o), li.l_orderkey == F.col("o_orderkey"))
     agg = j.groupBy("o_orderkey", "o_orderdate").agg(F.sum(disc).alias("_rev"))
     return (
         agg.orderBy(F.col("_rev").desc(), F.col("o_orderkey").asc())

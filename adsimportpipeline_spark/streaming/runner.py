@@ -58,15 +58,28 @@ def run_replay(
         index = create_lsh_index(spark, lsh_index_root)
 
     def _apply(batch_df, batch_id):
-        stats = apply_batch(table, batch_df, batch_id, salted=salted)
+        ka: list = [] if index is not None else None
+        stats = apply_batch(
+            table, batch_df, batch_id, salted=salted, keep_applied=ka
+        )
         if index is not None:
-            # index the rows the commit actually applied, read BACK from
-            # the table (bucket-pruned, html never decoded) — re-deriving
-            # winners from the raw batch would re-run LWW + the HTML->text
-            # extraction, roughly doubling per-batch python-worker cost
-            update_lsh_index(
-                index, applied_winner_texts(table, batch_df), batch_id
-            )
+            try:
+                if ka:
+                    # O(batch): the applied-upserts frame apply_batch just
+                    # materialized (text extracted exactly once, shared
+                    # with the write job) — no table read-back
+                    applied = ka[0].select(
+                        "url", "warc_ts", "log_offset", "text"
+                    )
+                else:
+                    # epoch no-op re-delivery (crash between table and
+                    # index commits): the cache was never built — read the
+                    # applied rows back from the committed table
+                    applied = applied_winner_texts(table, batch_df)
+                update_lsh_index(index, applied, batch_id)
+            finally:
+                for c in ka or []:
+                    c.unpersist()
         if collect_stats is not None:
             collect_stats.append(stats)
 
@@ -107,9 +120,12 @@ def run_replay_stateful(
     kill-and-resume test (tests/test_stateful_streaming.py).
 
     ``lsh_index_root`` maintains the MinHash-LSH band index in the same
-    loop, exactly as in :func:`run_replay` (table epoch commits first;
-    index rows for rows the state rejected never match the pages table, so
-    the append-only validity rule drops them)."""
+    loop, exactly as in :func:`run_replay`: the table epoch commits first,
+    and the index consumes the applied-upserts frame apply_batch
+    materialized (``keep_applied``), so state-rejected rows are never
+    indexed at all — they are absent from the applied set by construction.
+    Only the crash-between-commits re-delivery falls back to reading the
+    applied rows back from the committed table."""
     from pyspark.sql import functions as F
 
     from .stateful import stateful_lww_decisions
@@ -133,17 +149,29 @@ def run_replay_stateful(
         pruned = batch_df.filter(
             (F.col("decision") == "apply") | (F.col("op") == "delete")
         )
-        stats = apply_batch(table, pruned, batch_id, decision_col="decision")
+        ka: list = [] if index is not None else None
+        stats = apply_batch(
+            table, pruned, batch_id, decision_col="decision", keep_applied=ka
+        )
         if index is not None:
-            # read the applied rows back from the committed table rather
-            # than re-running LWW + extraction over the batch (see
-            # run_replay); the semi-join on this batch's triples never
-            # matches state-rejected rows — they were never applied
-            update_lsh_index(
-                index,
-                applied_winner_texts(table, batch_df.drop("decision")),
-                batch_id,
-            )
+            try:
+                if ka:
+                    # O(batch): apply_batch's own applied-upserts cache —
+                    # state-rejected rows were never applied, so they are
+                    # absent by construction (no read-back, no second
+                    # extraction)
+                    applied = ka[0].select(
+                        "url", "warc_ts", "log_offset", "text"
+                    )
+                else:
+                    # epoch no-op re-delivery: recover from the table
+                    applied = applied_winner_texts(
+                        table, batch_df.drop("decision")
+                    )
+                update_lsh_index(index, applied, batch_id)
+            finally:
+                for c in ka or []:
+                    c.unpersist()
         if collect_stats is not None:
             collect_stats.append(stats)
 

@@ -300,7 +300,18 @@ class LakeTable:
         become tight and a pushed key/range predicate skips most row
         groups inside a file — the skipping layer UNDER file pruning.
         Costs an in-partition sort per commit; off by default so the
-        replay hot path is unchanged."""
+        replay hot path is unchanged.
+
+        Reopen semantics: create() on an existing table is idempotent and
+        NEVER alters its options.  An explicit ``stats_cols``/``sort_cols``
+        that disagrees with the existing manifest raises
+        (:meth:`_check_create_options`); ``key``, ``n_buckets`` and
+        ``schema`` are NOT drift-checked — they have non-None defaults, so
+        "didn't ask" is indistinguishable from "asked for the default",
+        and n_buckets legitimately diverges from creation intent after a
+        :meth:`rescale_buckets`.  A caller reopening with a different key
+        or schema silently gets the existing table's values; compare
+        against :meth:`manifest` yourself if that matters."""
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)

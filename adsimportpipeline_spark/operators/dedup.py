@@ -94,23 +94,13 @@ def word_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str = "doc_id", k: int = 8,
-    size_col: str | None = None,
+    shingles: DataFrame, id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:
-    """k portable minhashes per doc, one aggregation pass (no k-way explode).
-
-    ``size_col``: when named, a ``count(*)`` column (the doc's distinct-
-    shingle count — ``shingles`` is distinct per the module contract) rides
-    along in the SAME aggregation.  jaccard_verify needs exactly that
-    count, so computing it here spares the verify a separate full pass
-    over the shingle subtree (which is NOT shared via exchange reuse — see
-    minhash_dedup_pairs)."""
+    """k portable minhashes per doc, one aggregation pass (no k-way explode)."""
     aggs = [
         F.min(portable_hash(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(k)
     ]
-    if size_col is not None:
-        aggs.append(F.count(F.lit(1)).alias(size_col))
     return shingles.groupBy(id_col).agg(*aggs)
 
 
@@ -190,7 +180,6 @@ def jaccard_verify(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     assume_distinct: bool = True,
-    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs only (never all-pairs).
 
@@ -217,15 +206,7 @@ def jaccard_verify(
     if not assume_distinct:
         shingles = shingles.select(id_col, "shingle").distinct()
         pairs = pairs.select("id_a", "id_b").distinct()
-        sizes = None  # caller-provided counts can't be trusted either
-    if sizes is None:
-        # ``sizes``: optional pre-computed (id_col, sz) distinct-shingle
-        # counts (e.g. ridden along in the signature aggregation) — saves
-        # one full pass over the shingle subtree, which is otherwise
-        # recomputed here (no exchange reuse across its consumers)
-        sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    else:
-        sizes = sizes.select(F.col(id_col), F.col("sz"))
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -273,17 +254,10 @@ def minhash_dedup_pairs(
     if cleanup is not None:
         sh = sh.persist()
         cleanup.append(sh)
-    # the distinct-shingle count rides in the signature aggregation, so
-    # the verify's size join consumes the (tiny) sig frame instead of a
-    # fifth full pass over the shingle subtree (measured ~10% off the
-    # sf1.0 wall — see the cleanup note above for why persisting instead
-    # is NOT the answer)
-    sigs_sz = minhash_signatures(sh, id_col, k, size_col="_sz")
-    sizes = sigs_sz.select(F.col(id_col), F.col("_sz").alias("sz"))
     pairs = lsh_candidate_pairs(
-        sigs_sz.drop("_sz"), id_col, k, band_size, bucket_cap=bucket_cap
+        minhash_signatures(sh, id_col, k), id_col, k, band_size, bucket_cap=bucket_cap
     )
-    return jaccard_verify(pairs, sh, id_col, threshold, sizes=sizes)
+    return jaccard_verify(pairs, sh, id_col, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:

@@ -1998,8 +1998,12 @@ def q_cdc_final_state(spark, sf_dir):
         "user_id", "ts", "event_id", "event_type", "props"
     )
     winners = lww.lww_dedup(ev, key="user_id", order_cols=("ts", "event_id"))
-    # op == 'delete' iff event_type == 'error'
-    final = winners.filter(F.col("event_type") != "error")
+    # op == 'delete' iff event_type == 'error'; NULL event_type maps to
+    # 'upsert' (kept), matching both the pre-rewrite op column and the
+    # oracle's CASE WHEN — a bare `event_type != 'error'` would drop NULLs
+    final = winners.filter(
+        ~F.coalesce(F.col("event_type") == "error", F.lit(False))
+    )
     html = F.encode(
         _change_body(F.col("user_id"), F.col("event_id"), F.col("props")),
         "utf-8",

@@ -18,6 +18,41 @@ from ..lake.table import LakeTable
 from ..sources.changelog import stream_change_log
 
 
+def _apply_and_maintain_index(table, index, batch_df, batch_id, raw_batch_df=None, **apply_kwargs):
+    """apply_batch + incremental LSH index maintenance, shared by both
+    replay modes.  The applied-upserts frame apply_batch materializes
+    (``keep_applied`` — text extracted exactly once, shared with the write
+    job) feeds the index at O(batch) cost; the epoch no-op re-delivery
+    (crash between the table and index commits) falls back to reading the
+    applied rows back from the committed table.  The persisted frame's
+    lifetime covers apply_batch itself, so a commit that raises AFTER the
+    persist (e.g. CommitConflictError) cannot leak pinned storage.
+
+    ``raw_batch_df``: the fallback's batch view when it differs from the
+    applied one (the stateful mode reads back against the un-pruned batch
+    minus its decision column)."""
+    from ..operators.incremental_dedup import (
+        applied_winner_texts,
+        update_lsh_index,
+    )
+
+    ka: list = [] if index is not None else None
+    try:
+        stats = apply_batch(table, batch_df, batch_id, keep_applied=ka, **apply_kwargs)
+        if index is not None:
+            if ka:
+                applied = ka[0].select("url", "warc_ts", "log_offset", "text")
+            else:
+                applied = applied_winner_texts(
+                    table, batch_df if raw_batch_df is None else raw_batch_df
+                )
+            update_lsh_index(index, applied, batch_id)
+        return stats
+    finally:
+        for c in ka or []:
+            c.unpersist()
+
+
 def run_replay(
     spark: SparkSession,
     log_path: str,
@@ -49,37 +84,14 @@ def run_replay(
     stream = stream_change_log(spark, log_path, max_files_per_trigger)
     index = None
     if lsh_index_root is not None:
-        from ..operators.incremental_dedup import (
-            applied_winner_texts,
-            create_lsh_index,
-            update_lsh_index,
-        )
+        from ..operators.incremental_dedup import create_lsh_index
 
         index = create_lsh_index(spark, lsh_index_root)
 
     def _apply(batch_df, batch_id):
-        ka: list = [] if index is not None else None
-        stats = apply_batch(
-            table, batch_df, batch_id, salted=salted, keep_applied=ka
+        stats = _apply_and_maintain_index(
+            table, index, batch_df, batch_id, salted=salted
         )
-        if index is not None:
-            try:
-                if ka:
-                    # O(batch): the applied-upserts frame apply_batch just
-                    # materialized (text extracted exactly once, shared
-                    # with the write job) — no table read-back
-                    applied = ka[0].select(
-                        "url", "warc_ts", "log_offset", "text"
-                    )
-                else:
-                    # epoch no-op re-delivery (crash between table and
-                    # index commits): the cache was never built — read the
-                    # applied rows back from the committed table
-                    applied = applied_winner_texts(table, batch_df)
-                update_lsh_index(index, applied, batch_id)
-            finally:
-                for c in ka or []:
-                    c.unpersist()
         if collect_stats is not None:
             collect_stats.append(stats)
 
@@ -135,11 +147,7 @@ def run_replay_stateful(
     decided = stateful_lww_decisions(stream, passthrough_payload=True)
     index = None
     if lsh_index_root is not None:
-        from ..operators.incremental_dedup import (
-            applied_winner_texts,
-            create_lsh_index,
-            update_lsh_index,
-        )
+        from ..operators.incremental_dedup import create_lsh_index
 
         index = create_lsh_index(spark, lsh_index_root)
 
@@ -149,29 +157,11 @@ def run_replay_stateful(
         pruned = batch_df.filter(
             (F.col("decision") == "apply") | (F.col("op") == "delete")
         )
-        ka: list = [] if index is not None else None
-        stats = apply_batch(
-            table, pruned, batch_id, decision_col="decision", keep_applied=ka
+        stats = _apply_and_maintain_index(
+            table, index, pruned, batch_id,
+            raw_batch_df=batch_df.drop("decision"),
+            decision_col="decision",
         )
-        if index is not None:
-            try:
-                if ka:
-                    # O(batch): apply_batch's own applied-upserts cache —
-                    # state-rejected rows were never applied, so they are
-                    # absent by construction (no read-back, no second
-                    # extraction)
-                    applied = ka[0].select(
-                        "url", "warc_ts", "log_offset", "text"
-                    )
-                else:
-                    # epoch no-op re-delivery: recover from the table
-                    applied = applied_winner_texts(
-                        table, batch_df.drop("decision")
-                    )
-                update_lsh_index(index, applied, batch_id)
-            finally:
-                for c in ka or []:
-                    c.unpersist()
         if collect_stats is not None:
             collect_stats.append(stats)
 

@@ -70,6 +70,11 @@ def main() -> None:
     if args.plans_dir:
         os.makedirs(args.plans_dir, exist_ok=True)
 
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        import sys
+
+        print(f"bench_extra: unknown queries skipped: {unknown}", file=sys.stderr)
     timings: dict[str, float] = {}
     for name in names:
         if name not in QUERIES:

@@ -226,6 +226,33 @@ def jaccard_verify(
     )
 
 
+def _stage_reuse_barrier(df: DataFrame) -> DataFrame:
+    """Optimizer-opaque always-true filter over a shared aggregated frame.
+
+    ``monotonically_increasing_id()`` is non-negative by construction, so
+    the predicate passes every row (retry-safe: re-evaluation on a retried
+    task passes everything again), but the expression is flagged
+    nondeterministic, which the optimizer may not reorder, push through,
+    or fold.  Placed ABOVE a frame that ends in an aggregation and is
+    consumed several times in one plan, it blocks the two rewrites that
+    would otherwise split the consumers' subtrees into different canonical
+    forms and defeat AQE's runtime stage cache:
+
+    - ``RemoveRedundantAggregates`` collapsing a downstream duplicate-
+      insensitive aggregation (e.g. ``min``) into the frame's final
+      ``distinct`` — that consumer would then re-derive the frame from the
+      scan instead of reading the distinct's exchange;
+    - inferred join predicates (``isnotnull`` on join keys) pushing below
+      the frame's aggregation into the scan — join-side consumers would
+      then scan-filter while aggregate-side consumers do not.
+
+    With every consumer's below-exchange subtree canonically identical,
+    AQE computes the frame's map stage ONCE and every consumer reads the
+    reused shuffle output — sharing via shuffle files, with none of the
+    memory-store serialization that makes ``.persist()`` slower here."""
+    return df.where(F.monotonically_increasing_id() >= 0)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -239,21 +266,36 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify.
 
+    The shingle subtree appears five times in the one plan (both band-join
+    sides via the signatures, the two intersection sides, the size
+    aggregate).  AQE's runtime stage cache already deduplicates the copies
+    whose subtrees canonicalize identically — but the initial plan splits
+    them into TWO classes that each compute the scan+regex+shingle map
+    stage: the signature branch (RemoveRedundantAggregates collapses the
+    shingle ``distinct`` into the duplicate-insensitive ``min`` aggregate,
+    re-rooting it on the raw scan) and the verify branches (whose joins
+    push an inferred ``isnotnull(id)`` below the distinct into the scan).
+    :func:`_stage_reuse_barrier` over the shared shingle frame blocks both
+    rewrites, so ALL consumers read one reused distinct exchange and the
+    regex tokenize+explode runs ONCE per corpus (plan-verified: 6 scans ->
+    1; results identical — the barrier is constant-true, ``min`` over
+    distinct shingles equals ``min`` over the multiset, and the verify
+    joins still drop null ids at the join itself).
+
     ``cleanup``: when a list is passed, the shingle frame is persisted and
     appended for the CALLER to unpersist after its action (the lww cleanup
     convention — operators/lww.py).  Pass one only when the INPUT is
-    expensive to recompute (not a plain scan): the shingle subtree appears
-    five times in the one plan (both band-join sides via the signatures,
-    the two intersection sides, the size aggregate) and exchange reuse
-    does NOT dedupe them — but for scan-rooted inputs the five branches
-    are independent stages the scheduler runs CONCURRENTLY, and measured
-    at sf1.0/local[32] that redundant-but-parallel recompute (6.8s) beats
-    caching the 2.6M-row shingle table and serializing every consumer
-    through the memory store (9.6s) — so the default stays unpersisted."""
+    expensive to recompute (not a plain scan): for scan-rooted inputs an
+    r06 A/B at sf1.0/local[32] measured every persist variant slower
+    (6.8s unpersisted vs 9.6s cached — the memory store serializes every
+    consumer), so the default stays unpersisted and shares via the
+    barrier + AQE stage reuse instead."""
     sh = word_shingles(df, id_col, text_col, n)
     if cleanup is not None:
         sh = sh.persist()
         cleanup.append(sh)
+    else:
+        sh = _stage_reuse_barrier(sh)
     pairs = lsh_candidate_pairs(
         minhash_signatures(sh, id_col, k), id_col, k, band_size, bucket_cap=bucket_cap
     )

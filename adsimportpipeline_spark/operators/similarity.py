@@ -412,9 +412,14 @@ def lsh_ann_topk(
     # AFTER the dedup (corpus join + broadcast query join) — each vector
     # crosses the network once per surviving candidate side, not once per
     # (table x probe) pre-dedup hit.
-    from .dedup import fan_out_narrow_scan
+    from .dedup import _stage_reuse_barrier, fan_out_narrow_scan
 
-    vectors = fan_out_narrow_scan(vectors)
+    # the barrier keeps the bucket side and the re-attach side reading ONE
+    # shared corpus scan+fan-out exchange: without it the re-attach join
+    # pushes an inferred isnotnull(id) into its copy of the scan, the two
+    # subtrees stop canonicalizing identically, and the corpus is scanned
+    # and round-robin-exchanged twice (plan-verified: FileScan 3 -> 2)
+    vectors = _stage_reuse_barrier(fan_out_narrow_scan(vectors))
     vb = vectors.select(
         F.col(id_col),
         F.explode(

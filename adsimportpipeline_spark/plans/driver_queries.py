@@ -1014,10 +1014,11 @@ def q_doc_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs (band=2, jaccard verify >= 0.05), with the
     hot-bucket cap that keeps a boilerplate bucket from going quadratic.
 
-    Deliberately UNPERSISTED: the five shingle-subtree consumers are
-    independent scan-rooted stages the scheduler runs concurrently; an r06
-    A/B under the bench conf measured every persist variant slower (see
-    minhash_dedup_pairs' docstring)."""
+    Deliberately UNPERSISTED: an r06 A/B under the bench conf measured
+    every persist variant slower; the five shingle-subtree consumers share
+    ONE scan+regex+distinct map stage instead, via AQE runtime stage reuse
+    unlocked by minhash_dedup_pairs' optimizer barrier (see its
+    docstring)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, k=8, band_size=2, threshold=0.05,

@@ -117,9 +117,14 @@ def test_minhash_pipeline_reuses_shingle_exchange(spark, sf_dir):
     """minhash_dedup_pairs deliberately does NOT persist the shingle frame
     (a long-lived session must never leak pinned storage); instead the
     shingle distinct's exchange must be REUSED across its consumers
-    (signatures, the pair verify's two join sides, the size counts).  If
-    this regresses, the pipeline recomputes the shingle explode+distinct
-    per consumer."""
+    (signatures, the pair verify's two join sides, the size counts).  The
+    _stage_reuse_barrier makes every consumer's below-exchange subtree
+    canonically identical (blocks RemoveRedundantAggregates on the
+    signature branch and inferred isnotnull pushdown on the verify
+    branches), so the executed plan must read the documents scan exactly
+    ONCE — the scan+regex tokenize+shingle explode map stage runs once
+    and everything else reuses its shuffle output.  If this regresses,
+    the pipeline recomputes the corpus scan per consumer class."""
     from adsimportpipeline_spark.operators.dedup import minhash_dedup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -127,6 +132,13 @@ def test_minhash_pipeline_reuses_shingle_exchange(spark, sf_dir):
     df.collect()  # AQE finalizes reuse at execution
     plan = _plan(df)
     assert "ReusedExchange" in plan
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("FileScan parquet") == 1, (
+        "documents must be scanned exactly once across all five shingle "
+        f"consumers; executed plan has {final.count('FileScan parquet')} scans"
+    )
 
 
 def test_metadata_bound_rejects_non_scan_shapes(spark, sf_dir):

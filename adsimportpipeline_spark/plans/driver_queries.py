@@ -274,7 +274,12 @@ def q_record_merge(spark, sf_dir):
     """A2+A12 composition: the per-field merge driver (Merger.merge,
     merger.py:107-131 + MERGER_RULES config.py:48-91) — typed block rows ->
     ONE canonical record per key with a different rule per field, computed
-    as conditional aggregation (two shuffles total for all fields)."""
+    as conditional aggregation (two shuffles total for all fields).
+
+    Deliberately UNFANNED: a 10x-scale A/B (OPTIMIZATION_r06.md) measured
+    round-robin fan-out of the events scan SLOWER (1.96 -> 2.59 s); the
+    two grouping passes over the single-row-group scan beat paying a
+    full-row exchange first."""
     from ..operators.record_merge import record_merge
 
     ev = _t(spark, sf_dir, "events")
@@ -858,7 +863,13 @@ FROM documents d LEFT JOIN (
 
 
 def q_pricing_summary(spark, sf_dir):
-    """Q1-style aggregation over lineitem (decimal-exact sums)."""
+    """Q1-style aggregation over lineitem (decimal-exact sums).
+
+    Deliberately UNFANNED: a 10x-scale A/B (OPTIMIZATION_r06.md) measured
+    round-robin fan-out before the aggregation SLOWER (2.11 -> 2.28 s) —
+    the full-row exchange costs more than the few-task partial
+    aggregation it parallelizes, the same negative result as
+    cdc_final_state's fan-out experiment."""
     li = _t(spark, sf_dir, "lineitem")
     # exact decimal products: no double rounding at half boundaries
     price = F.col("l_extendedprice").cast("decimal(12,2)")

@@ -209,8 +209,22 @@ def jaccard_verify(
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    # Join shapes picked deliberately (guide §3.1): Catalyst wildly
+    # overestimates the candidate-pair subtree (band-join cardinality), so
+    # left to size estimates it broadcast-builds the FULL (id, shingle)
+    # table twice — the one relation here that is ∝ corpus with the
+    # largest constant (measured at a 10x corpus: 2.6M-row builds, full
+    # pipeline 4.7s).  Instead: (1) broadcast the deduped pair list — two
+    # longs per row, ~350x fewer rows than the shingle table at the same
+    # corpus, though still ∝ corpus: past ~10^8 candidate pairs drop this
+    # hint and let the join shuffle; (2) the (id_b, shingle) match is a
+    # shuffled-hash join with the pairs-side intermediate as build — no
+    # sort, no driver-side build of the shingle relation, scale-correct at
+    # any corpus size.  Measured 4.69s -> 3.58s at the 10x corpus with
+    # bit-identical rows (strategy-only change).
     inter = (
-        pairs.join(sh_a, "id_a")
+        F.broadcast(pairs).join(sh_a, "id_a")
+        .hint("shuffle_hash")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -141,6 +141,36 @@ def test_minhash_pipeline_reuses_shingle_exchange(spark, sf_dir):
     )
 
 
+def test_jaccard_verify_builds_pairs_not_shingles(spark, sf_dir):
+    """jaccard_verify's join shapes are picked deliberately (guide §3.1):
+    Catalyst overestimates the band-join pair subtree, so left to size
+    estimates it broadcast-builds the FULL (id, shingle) relation — twice
+    (measured: 2.6M-row driver-side builds at a 10x corpus).  The operator
+    instead broadcasts the deduped pair list into the first shingle join
+    and makes the (id_b, shingle) match a shuffled-hash join with the
+    pairs-side intermediate as build.  Pin both: the (id, shingle) match
+    must be a ShuffledHashJoin building its left (pairs-side) input, and
+    no shingle-keyed broadcast join may reappear."""
+    import re
+
+    from adsimportpipeline_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.05)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert re.search(r"ShuffledHashJoin \[id_b#\d+L, shingle#\d+\].*BuildLeft", plan), (
+        f"(id_b, shingle) match must be a shuffled-hash join building the "
+        f"pairs-side intermediate:\n{plan[:2500]}"
+    )
+    # no broadcast join may key on the shingle string (that is the old
+    # shape: broadcast-building the full shingle relation)
+    assert not re.search(r"BroadcastHashJoin \[[^\]]*shingle", plan), (
+        f"a shingle-keyed broadcast join re-appeared:\n{plan[:2500]}"
+    )
+
+
 def test_metadata_bound_rejects_non_scan_shapes(spark, sf_dir):
     """The footer row bound is only valid for a single-relation scan with
     Project/Filter on top: a join multiplies rows and a self-union dedupes

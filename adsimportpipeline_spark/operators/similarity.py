@@ -259,8 +259,16 @@ def assign_ivf_cells(
     lists on the sf0.1 corpus — pure hot-path waste).  Ties resolve to the
     lowest cell id (array_position takes the first maximum), matching the
     SQL oracle's ORDER BY score DESC, cell ASC."""
+    from .dedup import fan_out_narrow_scan
+
+    # the n_lists interpreted cosine folds per row are the most CPU-dense
+    # map work in the package; a single-row-group corpus file would run
+    # them in ONE task (measured: ~10 s of the 12.3 s first-build wall at
+    # sf1.0 inside one core while 31 idled).  Fan out first — values and
+    # cell ids are row-local, so parallelism cannot change them; no-op at
+    # production split counts.
     scored = with_centroid_scores(
-        vectors.select(id_col, vec_col), vec_col, centroids
+        fan_out_narrow_scan(vectors.select(id_col, vec_col)), vec_col, centroids
     )
     return scored.select(
         F.col(id_col),
